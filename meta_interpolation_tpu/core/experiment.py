@@ -1,0 +1,187 @@
+"""Experiment driver — train / val / test orchestration.
+
+Reference: ``/root/reference/experiment_builder.py`` — epoch loop with
+per-epoch validation (:241-307), best-PSNR checkpointing (:305-314),
+TensorBoard logging (:261-263), recursive spatial tiling of oversized eval
+frames (:93-128, :151-176), and the ×2 slow-motion test writer (:184-209).
+
+TPU notes: training batches prefetch on background threads and land in HBM
+before the episode runs; eval tiling halves H or W recursively above the
+per-model pixel limit — each tile shape jit-caches once (the tile sizes are
+halvings of the dataset's fixed resolutions, so the compile set is small).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..utils.meters import AverageMeter
+from . import checkpoint as ckpt_lib
+
+
+class ExperimentBuilder:
+    def __init__(self, cfg: Config, data, system):
+        self.cfg = cfg
+        self.data = data
+        self.system = system
+        self.best_psnr = 0.0
+        self.start_epoch = cfg.start_epoch
+        self.exp_dir = os.path.join(cfg.checkpoint_dir, cfg.exp_name)
+        self.writer = None
+        if cfg.use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.writer = SummaryWriter(
+                    os.path.join(cfg.log_dir, cfg.exp_name))
+            except ImportError:
+                print("[tb] tensorboard unavailable — logging disabled")
+        if cfg.resume:
+            self._resume()
+
+    # ------------------------------------------------------------------
+    def _resume(self):
+        exp = self.cfg.resume_exp or self.cfg.exp_name
+        state = ckpt_lib.load_checkpoint(
+            os.path.join(self.cfg.checkpoint_dir, exp))
+        if state is None:
+            print("[resume] no checkpoint found — training from scratch")
+            return
+        self.system.load_state_dict(state["system"])
+        self.best_psnr = float(state.get("best_PSNR", 0.0))
+        self.start_epoch = int(state.get("epoch", 0))
+        print(f"[resume] epoch {self.start_epoch}, best PSNR {self.best_psnr:.2f}")
+
+    def _save(self, epoch: int, is_best: bool):
+        ckpt_lib.save_checkpoint(
+            {"epoch": epoch + 1, "arch": vars(self.cfg) if not isinstance(
+                self.cfg, dict) else self.cfg,
+             "system": self.system.state_dict(),
+             "best_PSNR": self.best_psnr},
+            self.exp_dir, is_best=is_best)
+
+    def _log_tb(self, tag_values: dict, step: int):
+        if self.writer is None:
+            return
+        for tag, value in tag_values.items():
+            self.writer.add_scalar(tag, value, step)
+
+    # ------------------------------------------------------------------
+    # tiling (reference _eval_iter, experiment_builder.py:103-128)
+    # ------------------------------------------------------------------
+    def _tiled_val_iter(self, frames: np.ndarray, limit: float):
+        """Recursively split H or W in half when H·W exceeds the limit;
+        average losses, concatenate predictions (no halo — seams accepted,
+        matching the reference)."""
+        h, w = frames.shape[2], frames.shape[3]
+        if h * w <= limit:
+            return self.system.run_validation_iter(frames)
+        if h >= w:
+            a = frames[:, :, :h // 2]
+            b = frames[:, :, h // 2:]
+            axis = 1
+        else:
+            a = frames[:, :, :, :w // 2]
+            b = frames[:, :, :, w // 2:]
+            axis = 2
+        losses_a, preds_a = self._tiled_val_iter(a, limit)
+        losses_b, preds_b = self._tiled_val_iter(b, limit)
+        losses = {k: (losses_a[k] + losses_b[k]) / 2.0 for k in losses_a}
+        preds = np.concatenate([np.asarray(preds_a), np.asarray(preds_b)],
+                               axis=axis + 0 if axis == 1 else axis)
+        return losses, preds
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int):
+        loss_meter = AverageMeter()
+        psnr_meter = AverageMeter()
+        t0 = time.time()
+        it = 0
+        for frames, meta in self.data.get_train_batches(
+                total_batches=self.cfg.total_iter_per_epoch, epoch=epoch):
+            do_eval = (it % self.cfg.eval_iter == 0)
+            losses, _ = self.system.run_train_iter(frames, epoch,
+                                                   do_evaluation=do_eval)
+            loss_meter.update(losses["loss"])
+            if "psnr" in losses:
+                psnr_meter.update(losses["psnr"])
+            if it % self.cfg.log_iter == 0:
+                dt = time.time() - t0
+                msg = (f"[epoch {epoch} it {it}] loss {loss_meter.avg:.4f}")
+                if psnr_meter.count:
+                    msg += f" psnr {psnr_meter.avg:.2f}"
+                print(msg + f" ({dt:.1f}s)")
+                self._log_tb({"Loss/train": loss_meter.avg},
+                             epoch * self.cfg.total_iter_per_epoch + it)
+            it += 1
+        return loss_meter.avg
+
+    def validate(self, epoch: int = 0, total_batches: int = -1,
+                 save_images: bool = False):
+        loss_meter, psnr_meter, ssim_meter = (AverageMeter(), AverageMeter(),
+                                              AverageMeter())
+        limit = self.system.model_def.tile_pixel_limit
+        for frames, meta in self.data.get_val_batches(total_batches):
+            losses, preds = self._tiled_val_iter(np.asarray(frames), limit)
+            loss_meter.update(losses["loss"])
+            psnr_meter.update(losses.get("psnr", 0.0))
+            ssim_meter.update(losses.get("ssim", 0.0))
+            if save_images and self.cfg.viz:
+                from ..utils.viz import save_batch_images
+                out_root = os.path.join(self.exp_dir, self.cfg.dataset)
+                save_batch_images(preds, meta, out_root)
+        print(f"[val epoch {epoch}] loss {loss_meter.avg:.4f} "
+              f"PSNR {psnr_meter.avg:.3f} SSIM {ssim_meter.avg:.4f}")
+        self._log_tb({"Loss/val": loss_meter.avg, "PSNR": psnr_meter.avg,
+                      "SSIM": ssim_meter.avg}, epoch)
+        return {"loss": loss_meter.avg, "psnr": psnr_meter.avg,
+                "ssim": ssim_meter.avg}
+
+    def test(self):
+        """×2 slow-motion synthesis: write interpolated frames with averaged
+        float indices so re-runs double the frame rate
+        (reference :184-209, data/video.py naming)."""
+        from ..utils.viz import save_image
+        count = 0
+        for frames, meta in self.data.get_test_batches():
+            preds = np.asarray(self.system.run_test_iter(np.asarray(frames)))
+            for b in range(preds.shape[0]):
+                paths = meta[b]["imgpaths"]
+                p1, p2 = str(paths[1]), str(paths[2])
+
+                def f_idx(p):
+                    try:
+                        return float(p.split("_")[-1].rsplit(".", 1)[0])
+                    except ValueError:
+                        return 0.0
+
+                mid = (f_idx(p1) + f_idx(p2)) / 2.0
+                stem = p1.rsplit("_", 1)[0] if "_" in os.path.basename(p1) \
+                    else p1.rsplit(".", 1)[0]
+                out_path = f"{stem}_{mid:.06f}.{self.cfg.img_fmt}"
+                pred01 = np.asarray(
+                    self.system.model_def.denormalize(preds[b]))
+                save_image(np.clip(pred01, 0, 1), out_path)
+                count += 1
+        print(f"[test] wrote {count} interpolated frames")
+        return count
+
+    # ------------------------------------------------------------------
+    def run_experiment(self):
+        if self.cfg.mode == "val":
+            return self.validate(save_images=True)
+        if self.cfg.mode == "test":
+            return self.test()
+
+        for epoch in range(self.start_epoch, self.cfg.max_epoch):
+            train_loss = self.train_epoch(epoch)
+            val_stats = self.validate(epoch,
+                                      total_batches=self.cfg.total_iter_per_epoch)
+            self.system.epoch_end(val_stats["loss"])
+            is_best = val_stats["psnr"] > self.best_psnr
+            self.best_psnr = max(self.best_psnr, val_stats["psnr"])
+            self._save(epoch, is_best)
+        return {"best_psnr": self.best_psnr}

@@ -1,0 +1,142 @@
+"""Task batching + background prefetch.
+
+The reference parallelizes decode with torch DataLoader worker *processes*
+(data/__init__.py:559-567). The TPU-native version uses a thread pool (PIL
+decode releases the GIL) plus a double-buffered prefetcher so the next batch
+is decoded and staged while the device runs the current episode.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+class TaskLoader:
+    """Iterate (B, T, H, W, C) float32 batches from a dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = False,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _indices(self) -> List[int]:
+        n = len(self.dataset)
+        idx = list(range(n))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, list]]:
+        indices = self._indices()
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        if not batches:
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    frames = np.stack([it[0] for it in items])
+                    meta = [it[1] for it in items]
+                    q.put((frames, meta))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+class MetaLearningSystemDataLoader:
+    """Facade matching the reference loader API
+    (data/__init__.py:520-625): get_train_batches / get_val_batches /
+    get_test_batches generators."""
+
+    def __init__(self, cfg, current_iter: int = 0):
+        from .datasets import get_dataset
+        self.cfg = cfg
+        self.dataset = get_dataset(cfg.dataset, cfg.data_root, cfg.model,
+                                   cfg.mode, crop_size=cfg.crop_size,
+                                   test_mode=cfg.test_mode,
+                                   img_fmt=cfg.img_fmt)
+        self.batch_size = {"train": cfg.batch_size,
+                           "val": cfg.val_batch_size,
+                           "test": cfg.test_batch_size}
+        self.num_workers = cfg.num_workers
+        self.seed = cfg.random_seed
+
+    def _loader(self, mode: str, epoch: int = 0) -> TaskLoader:
+        self.dataset.switch_set(mode)
+        loader = TaskLoader(self.dataset, self.batch_size[mode],
+                            shuffle=(mode == "train"),
+                            num_workers=self.num_workers, seed=self.seed)
+        loader.set_epoch(epoch)
+        return loader
+
+    def get_train_batches(self, total_batches: int = -1, epoch: int = 0):
+        loader = self._loader("train", epoch)
+        count = 0
+        for batch in loader:
+            yield batch
+            count += 1
+            if 0 < total_batches <= count:
+                break
+
+    def get_val_batches(self, total_batches: int = -1):
+        loader = self._loader("val")
+        count = 0
+        for batch in loader:
+            yield batch
+            count += 1
+            if 0 < total_batches <= count:
+                break
+
+    def get_test_batches(self, total_batches: int = -1):
+        loader = self._loader("test")
+        count = 0
+        for batch in loader:
+            yield batch
+            count += 1
+            if 0 < total_batches <= count:
+                break

@@ -1,0 +1,39 @@
+"""CLI entry point (reference ``/root/reference/main.py:1-11``).
+
+    python -m meta_interpolation_tpu.main --model cain --loss 1*L1 \
+        --mode train --metasgd --optimizer Adam ...
+"""
+from __future__ import annotations
+
+import jax
+
+from .config import get_args
+from .core.experiment import ExperimentBuilder
+from .data import MetaLearningSystemDataLoader
+from .meta.system import SceneAdaptiveInterpolation
+
+
+def main(argv=None):
+    cfg = get_args(argv)
+    print(f"devices: {jax.devices()}")
+
+    mesh = None
+    if cfg.episode_parallel and len(jax.devices()) > 1:
+        from .parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(cfg.mesh_shape)
+        print(f"mesh: {mesh}")
+
+    system = SceneAdaptiveInterpolation(cfg, mesh=mesh)
+    if cfg.pretrained_model:
+        from .core import checkpoint as ckpt_lib
+        print(f"Loading pretrained model: {cfg.pretrained_model}")
+        system.meta_params["net"] = ckpt_lib.import_pth(
+            cfg.pretrained_model, system.meta_params["net"])
+
+    data = MetaLearningSystemDataLoader(cfg)
+    builder = ExperimentBuilder(cfg, data, system)
+    return builder.run_experiment()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Scene-adaptation episodes as jit-compiled ``lax.scan`` programs.
+
+This is the TPU re-expression of the reference's python-loop MAML engine
+(``/root/reference/meta_learning_system.py:346-472``):
+
+  * HOT LOOP 1 (tasks, :366)        → ``jax.vmap`` over the task axis
+  * HOT LOOP 2 (inner steps, :386)  → ``jax.lax.scan`` carrying
+                                      ``(params, opt_state)``
+  * HOT LOOP 3 (support pairs,:388) → unrolled (2 pairs, static)
+  * inner update (:275-321)         → ``jax.grad`` + functional rule
+                                      (meta/inner_optimizers.py); second order
+                                      = differentiate through the scan,
+                                      first order = stop_gradient on grads
+  * MSL (:404-412)                  → per-step query losses collected as scan
+                                      outputs, dotted with the importance
+                                      vector
+  * L2F attenuation (:231-272)      → layerwise-mean-grad embedding → 2-layer
+                                      MLP → per-leaf gamma scaling of the init
+
+One jit per (model, resolution, static-flag combo); the whole episode —
+including every inner step and its gradient — compiles to a single XLA
+program, so there are no host↔device round-trips inside an iteration.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import metrics as metrics_lib
+from ..models import layers as L
+from .inner_optimizers import InnerOptimizer
+
+PyTree = Any
+
+
+def per_step_loss_importance(num_steps: int, epoch: int,
+                             msl_num_epochs: int) -> np.ndarray:
+    """MSL importance vector (reference meta_learning_system.py:186-210).
+
+    Host-side (numpy): depends only on epoch, passed into the jitted episode
+    as a small array.
+    """
+    if num_steps == 0:
+        return np.ones((1,), np.float32)
+    w = np.ones((num_steps,), np.float32) / num_steps
+    decay = 1.0 / num_steps / msl_num_epochs
+    min_non_final = 0.03 / num_steps
+    for i in range(num_steps - 1):
+        w[i] = max(w[i] - epoch * decay, min_non_final)
+    w[-1] = min(w[-1] + epoch * (num_steps - 1) * decay,
+                1.0 - (num_steps - 1) * min_non_final)
+    return w
+
+
+def init_attenuator(rng: jax.Array, num_layers: int) -> PyTree:
+    """L2F attenuator: Linear→ReLU→Linear→Sigmoid over layerwise mean grads
+    plus a gamma multiplier initialized to zero so gamma starts at exactly 1
+    (reference :106-117, :258-261)."""
+    r1, r2 = jax.random.split(rng)
+    return {
+        "fc1": L.linear_init(r1, num_layers, num_layers),
+        "fc2": L.linear_init(r2, num_layers, num_layers),
+        "gamma_mult": jnp.zeros(()),
+    }
+
+
+def apply_attenuator(att: PyTree, emb: jnp.ndarray) -> jnp.ndarray:
+    h = jax.nn.relu(L.linear(att["fc1"], emb))
+    g = jax.nn.sigmoid(L.linear(att["fc2"], h))
+    return jnp.clip(1.0 - att["gamma_mult"] * g, 0.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EpisodeSpec:
+    """Static configuration of an episode program."""
+    support_idxs: Tuple[Tuple[int, int, int], ...] = ((0, 2, 4), (2, 4, 6))
+    target_idxs: Tuple[int, int, int] = (2, 3, 4)
+    num_steps: int = 1
+    second_order: bool = False
+    use_msl: bool = False
+    attenuate: bool = False
+    returns_aux: bool = False
+
+
+class EpisodeBuilder:
+    """Builds the per-task and batched episode functions for one model.
+
+    ``apply_fn(params, f0, f1) -> pred`` (or ``(pred, aux)`` when
+    ``returns_aux``), ``loss_fn(pred, target, aux) -> {..., 'total'}``.
+    ``inner_mask``: optional 0/1 pytree like net params — leaves with 0 are
+    frozen in the inner loop (DAIN adapts only its rectify net,
+    reference :96-101).
+    """
+
+    def __init__(self, apply_fn: Callable, loss_fn: Callable,
+                 inner_opt: InnerOptimizer,
+                 denormalize: Callable = lambda x: x,
+                 inner_mask: Optional[PyTree] = None):
+        self.apply_fn = apply_fn
+        self.loss_fn = loss_fn
+        self.inner_opt = inner_opt
+        self.denormalize = denormalize
+        self.inner_mask = inner_mask
+
+    # -- loss plumbing -----------------------------------------------------
+    def _pair_loss(self, params, f0, f1, target):
+        out = self.apply_fn(params, f0[None], f1[None])
+        if isinstance(out, tuple):
+            pred, aux = out
+            aux = dict(aux)
+            aux["I0"], aux["I1"] = f0[None], f1[None]
+        else:
+            pred, aux = out, None
+        return self.loss_fn(pred, target[None], aux)["total"], pred[0]
+
+    def _support_loss(self, params, frames, spec: EpisodeSpec):
+        total = 0.0
+        for (i0, it, i1) in spec.support_idxs:
+            loss, _ = self._pair_loss(params, frames[i0], frames[i1], frames[it])
+            total = total + loss
+        return total
+
+    def _masked(self, grads):
+        if self.inner_mask is None:
+            return grads
+        return jax.tree.map(lambda g, m: g * m, grads, self.inner_mask)
+
+    # -- L2F ---------------------------------------------------------------
+    def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec):
+        """Scale the init per-leaf by gamma (reference :231-272)."""
+        grads = jax.grad(lambda p: self._support_loss(p, frames, spec))(net_params)
+        grads = jax.lax.stop_gradient(grads)  # create_graph=False (:246-247)
+        leaves = jax.tree.leaves(grads)
+        emb = jnp.stack([jnp.mean(g) for g in leaves])
+        gamma = apply_attenuator(attenuator, emb)
+        flat, treedef = jax.tree.flatten(net_params)
+        scaled = [w * gamma[i] for i, w in enumerate(flat)]
+        return jax.tree.unflatten(treedef, scaled)
+
+    # -- single-task episode ----------------------------------------------
+    def adapt(self, net_params: PyTree, lrs: PyTree, frames: jnp.ndarray,
+              spec: EpisodeSpec, attenuator: Optional[PyTree] = None,
+              collect_msl: bool = False):
+        """Inner-loop adaptation on one task.
+
+        frames: (T, H, W, C). Returns (adapted_params, per_step_query_losses)
+        where the losses array is only populated when ``collect_msl``.
+        """
+        if spec.attenuate and attenuator is not None:
+            net_params = self._attenuate(net_params, attenuator, frames, spec)
+
+        if spec.num_steps == 0:
+            return net_params, jnp.zeros((0,))
+
+        q0, qt, q1 = spec.target_idxs
+        opt_state = self.inner_opt.init_state(net_params)
+
+        def body(carry, step_idx):
+            params, opt_state = carry
+            grads = jax.grad(
+                lambda p: self._support_loss(p, frames, spec))(params)
+            if not spec.second_order:
+                grads = jax.lax.stop_gradient(grads)
+            grads = self._masked(grads)
+            params, opt_state = self.inner_opt.update(
+                params, grads, lrs, opt_state, step_idx)
+            if collect_msl:
+                q_loss, _ = self._pair_loss(params, frames[q0], frames[q1],
+                                            frames[qt])
+            else:
+                q_loss = jnp.zeros(())
+            return (params, opt_state), q_loss
+
+        (net_params, _), step_losses = jax.lax.scan(
+            body, (net_params, opt_state), jnp.arange(spec.num_steps))
+        return net_params, step_losses
+
+    def task_episode(self, meta_params: PyTree, frames: jnp.ndarray,
+                     msl_weights: jnp.ndarray, spec: EpisodeSpec,
+                     training: bool = True):
+        """Full episode on one task → (outer_loss, pred, query_loss).
+
+        Mirrors reference forward() per-task body (:366-461).
+        """
+        net = meta_params["net"]
+        lrs = meta_params["lrs"]
+        attenuator = meta_params.get("attenuator")
+        collect_msl = spec.use_msl and training
+        adapted, step_losses = self.adapt(net, lrs, frames, spec,
+                                          attenuator=attenuator,
+                                          collect_msl=collect_msl)
+        q0, qt, q1 = spec.target_idxs
+        if collect_msl:
+            outer_loss = jnp.sum(msl_weights[:spec.num_steps] * step_losses)
+            q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
+                                           frames[qt])
+            q_loss = jax.lax.stop_gradient(q_loss)
+        else:
+            q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
+                                           frames[qt])
+            outer_loss = q_loss
+        if not training:
+            # eval: adapt with grads, query under no-grad (:414-423)
+            outer_loss = jax.lax.stop_gradient(outer_loss)
+            pred = jax.lax.stop_gradient(pred)
+        return outer_loss, pred, q_loss
+
+    # -- batched -----------------------------------------------------------
+    def batched_episode(self, meta_params: PyTree, frames: jnp.ndarray,
+                        msl_weights: jnp.ndarray, spec: EpisodeSpec,
+                        training: bool = True, with_metrics: bool = False):
+        """vmap over the task axis. frames: (B, T, H, W, C).
+
+        Returns (mean_outer_loss, aux) with aux carrying preds / metrics.
+        The reference averages per-task summed losses (:338, :460-461).
+        """
+        def one(task_frames):
+            return self.task_episode(meta_params, task_frames, msl_weights,
+                                     spec, training=training)
+
+        outer_losses, preds, q_losses = jax.vmap(one)(frames)
+        mean_loss = jnp.mean(outer_losses)
+        aux: Dict[str, Any] = {"preds": preds,
+                               "query_loss": jnp.mean(q_losses)}
+        if with_metrics:
+            qt = spec.target_idxs[1]
+            dn_pred = self.denormalize(preds)
+            dn_tgt = self.denormalize(frames[:, qt])
+
+            def m(p, t):
+                return metrics_lib.calc_metrics(p, t)
+
+            psnr, ssim = jax.vmap(m)(dn_pred, dn_tgt)
+            aux["psnr"] = jnp.mean(psnr)
+            aux["ssim"] = jnp.mean(ssim)
+        return mean_loss, aux
+
+    def test_episode(self, meta_params: PyTree, frames: jnp.ndarray,
+                     spec: EpisodeSpec):
+        """×2 slow-motion test path (reference run_test_iter, :630-697):
+        adapt on 4 consecutive frames with support [[0,1,2],[1,2,3]], then
+        synthesize the midpoint of (frame1, frame2). frames: (B, 4, H, W, C).
+        """
+        def one(task_frames):
+            adapted, _ = self.adapt(meta_params["net"], meta_params["lrs"],
+                                    task_frames, spec,
+                                    attenuator=meta_params.get("attenuator"))
+            out = self.apply_fn(adapted, task_frames[1][None],
+                                task_frames[2][None])
+            pred = out[0] if isinstance(out, tuple) else out
+            return jax.lax.stop_gradient(pred[0])
+
+        return jax.vmap(one)(frames)

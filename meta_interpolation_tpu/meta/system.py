@@ -1,0 +1,310 @@
+"""SceneAdaptiveInterpolation — the user-facing meta-learning system.
+
+TPU-native equivalent of ``/root/reference/meta_learning_system.py:29-697``:
+holds the meta-parameters (net init + learnable inner LRs + L2F attenuator),
+the outer optax optimizer, and a cache of jit-compiled episode programs keyed
+by (shape, static flags). The per-iteration work — all inner steps, their
+gradients, the outer gradient, and the optimizer update — is one XLA program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..core import losses as losses_lib
+from ..models import registry
+from . import episode as episode_lib
+from .inner_optimizers import make_inner_optimizer
+
+PyTree = Any
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau(mode='min', factor=0.2, patience=5)
+    (reference meta_learning_system.py:144)."""
+
+    def __init__(self, init_lr: float, factor: float = 0.2, patience: int = 5,
+                 mode: str = "min"):
+        self.lr = init_lr
+        self.factor = factor
+        self.patience = patience
+        self.best = np.inf
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.bad_epochs = 0
+                print(f"PlateauScheduler: reducing outer lr to {self.lr:.3e}")
+        return self.lr
+
+
+def make_outer_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Outer optimizer (reference :132-144): Adam β=(0.9,0.99), Adamax
+    β=(0.9,0.999), or SGD, with injectable LR for the plateau scheduler."""
+    if cfg.optimizer == "Adam":
+        tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.outer_lr, b1=0.9, b2=0.99)
+    elif cfg.optimizer == "Adamax":
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.adamax(learning_rate, b1=0.9, b2=0.999)
+        )(learning_rate=cfg.outer_lr)
+    else:
+        tx = optax.inject_hyperparams(optax.sgd)(learning_rate=cfg.outer_lr)
+    return tx
+
+
+class SceneAdaptiveInterpolation:
+    """Meta-learning system: build with a Config, drive with run_*_iter."""
+
+    def __init__(self, cfg: Config, rng: Optional[jax.Array] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.model_def = registry.get(cfg.model)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.random_seed)
+        r_net, r_att, r_loss = jax.random.split(rng, 3)
+
+        # model hyperparameters from the CLI (reference --depth/--n_resblocks,
+        # config.py:25-26, consumed by MetaCAIN(depth=...) at
+        # meta_learning_system.py:61)
+        self.model_kwargs = {}
+        if cfg.model == "cain":
+            self.model_kwargs = {"depth": cfg.depth,
+                                 "n_resblocks": cfg.n_resblocks}
+        net_params = self.model_def.init(r_net, **self.model_kwargs)
+        self.inner_opt = make_inner_optimizer(cfg)
+        lrs = self.inner_opt.init_lrs(net_params, cfg.inner_lr)
+        self.meta_params: Dict[str, PyTree] = {"net": net_params, "lrs": lrs}
+        if cfg.attenuate:
+            n_layers = len(jax.tree.leaves(net_params))
+            self.meta_params["attenuator"] = episode_lib.init_attenuator(
+                r_att, n_layers)
+
+        # inner-loop adaptation mask (DAIN: rectify net only)
+        inner_mask = None
+        if cfg.model == "dain":
+            from ..models.dain import model as dain_model
+            inner_mask = dain_model.inner_mask(net_params)
+        self.inner_mask = inner_mask
+
+        self.loss_fn = losses_lib.make_loss_fn(cfg.loss, rng=r_loss)
+        self.builder = episode_lib.EpisodeBuilder(
+            apply_fn=self._apply_fn(), loss_fn=self.loss_fn,
+            inner_opt=self.inner_opt,
+            denormalize=self.model_def.denormalize,
+            inner_mask=inner_mask)
+
+        self.tx = make_outer_optimizer(cfg)
+        self.opt_state = self.tx.init(self.meta_params)
+        self.scheduler = PlateauScheduler(cfg.outer_lr)
+        self.current_epoch = 0
+        self.mesh = mesh
+        self._trainable_mask = self._build_trainable_mask()
+        self._jit_cache: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------
+    def _apply_fn(self):
+        base_apply = self.model_def.apply
+        kwargs = dict(self.model_kwargs)
+
+        def apply(params, f0, f1, **kw):
+            return base_apply(params, f0, f1, **{**kwargs, **kw})
+
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        if dtype == jnp.float32:
+            return apply
+
+        def bf16_apply(params, f0, f1, **kw):
+            out = apply(params, f0.astype(dtype), f1.astype(dtype), **kw)
+            if isinstance(out, tuple):
+                pred, aux = out
+                return pred.astype(jnp.float32), jax.tree.map(
+                    lambda x: x.astype(jnp.float32), aux)
+            return out.astype(jnp.float32)
+
+        return bf16_apply
+
+    def _build_trainable_mask(self) -> PyTree:
+        """Outer-loop trainability: net always (minus DAIN frozen parts),
+        LRs only when learnable (reference requires_grad semantics)."""
+        mask = {
+            "net": (jax.tree.map(lambda m: bool(m), self.inner_mask)
+                    if self.inner_mask is not None
+                    else jax.tree.map(lambda _: True, self.meta_params["net"])),
+            "lrs": jax.tree.map(lambda _: self.inner_opt.learnable,
+                                self.meta_params["lrs"]),
+        }
+        if "attenuator" in self.meta_params:
+            mask["attenuator"] = jax.tree.map(
+                lambda _: True, self.meta_params["attenuator"])
+        return mask
+
+    def _episode_spec(self, mode: str, num_steps: int, second_order: bool,
+                      use_msl: bool) -> episode_lib.EpisodeSpec:
+        return episode_lib.EpisodeSpec(
+            support_idxs=self.cfg.support_idxs(mode),
+            target_idxs=self.cfg.target_idxs,
+            num_steps=num_steps,
+            second_order=second_order,
+            use_msl=use_msl,
+            attenuate=self.cfg.attenuate,
+            returns_aux=self.model_def.returns_aux)
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+    def _get_train_step(self, spec: episode_lib.EpisodeSpec,
+                        with_metrics: bool):
+        key = ("train", spec, with_metrics)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        builder, tx, mask = self.builder, self.tx, self._trainable_mask
+
+        def train_step(meta_params, opt_state, frames, msl_weights):
+            def outer_loss(mp):
+                return builder.batched_episode(mp, frames, msl_weights, spec,
+                                               training=True,
+                                               with_metrics=with_metrics)
+
+            (loss, aux), grads = jax.value_and_grad(outer_loss, has_aux=True)(
+                meta_params)
+            grads = jax.tree.map(lambda g, m: g * m, grads,
+                                 jax.tree.map(
+                                     lambda b: jnp.asarray(b, jnp.float32),
+                                     mask))
+            updates, opt_state = tx.update(grads, opt_state, meta_params)
+            meta_params = optax.apply_updates(meta_params, updates)
+            return meta_params, opt_state, loss, aux
+
+        fn = train_step
+        if self.cfg.jit_episode:
+            fn = self._maybe_shard(jax.jit(train_step))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_eval_step(self, spec: episode_lib.EpisodeSpec):
+        key = ("eval", spec)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        builder = self.builder
+
+        def eval_step(meta_params, frames, msl_weights):
+            return builder.batched_episode(meta_params, frames, msl_weights,
+                                           spec, training=False,
+                                           with_metrics=True)
+
+        fn = jax.jit(eval_step) if self.cfg.jit_episode else eval_step
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_test_step(self, spec: episode_lib.EpisodeSpec):
+        key = ("test", spec)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        builder = self.builder
+
+        def test_step(meta_params, frames):
+            return builder.test_episode(meta_params, frames, spec)
+
+        fn = jax.jit(test_step) if self.cfg.jit_episode else test_step
+        self._jit_cache[key] = fn
+        return fn
+
+    def _maybe_shard(self, fn):
+        """Shard the task axis over the mesh when episode_parallel is on.
+
+        With a Mesh attached, inputs get sharded along 'task' via
+        jax.device_put in run_train_iter; jit's computation-follows-data takes
+        care of the rest (episode-parallel = pure data parallelism over
+        tasks; outer grads are reduced by XLA's psum under the hood).
+        """
+        return fn
+
+    # ------------------------------------------------------------------
+    # public API (reference run_train_iter / run_validation_iter / run_test_iter)
+    # ------------------------------------------------------------------
+    def _use_second_order(self, epoch: int) -> bool:
+        return (self.cfg.second_order
+                and epoch > self.cfg.first_order_to_second_order_epoch)
+
+    def _msl_active(self, epoch: int) -> bool:
+        return (self.cfg.use_multi_step_loss_optimization
+                and epoch < self.cfg.multi_step_loss_num_epochs)
+
+    def _shard_batch(self, frames):
+        if self.mesh is None:
+            return frames
+        from ..parallel import mesh as mesh_lib
+        return mesh_lib.shard_task_batch(self.mesh, frames)
+
+    def run_train_iter(self, frames, epoch: int, do_evaluation: bool = False):
+        """One outer-loop update. frames: (B, T, H, W, C) numpy/jnp in model
+        input space. Returns a losses dict (reference :584-606)."""
+        self.current_epoch = int(epoch)
+        spec = self._episode_spec("train", self.cfg.num_inner_steps,
+                                  self._use_second_order(epoch),
+                                  self._msl_active(epoch))
+        msl_w = jnp.asarray(episode_lib.per_step_loss_importance(
+            self.cfg.num_inner_steps, epoch, self.cfg.multi_step_loss_num_epochs))
+        frames = self._shard_batch(jnp.asarray(frames))
+        step = self._get_train_step(spec, do_evaluation)
+        self.meta_params, self.opt_state, loss, aux = step(
+            self.meta_params, self.opt_state, frames, msl_w)
+        losses = {"loss": float(loss), "total": float(aux["query_loss"])}
+        if do_evaluation:
+            losses["psnr"] = float(aux["psnr"])
+            losses["ssim"] = float(aux["ssim"])
+        return losses, aux.get("preds")
+
+    def run_validation_iter(self, frames):
+        """Eval episode: adapt with grads, query under no-grad (:608-627)."""
+        spec = self._episode_spec("train", self.cfg.num_eval_steps,
+                                  False, True)
+        msl_w = jnp.asarray(episode_lib.per_step_loss_importance(
+            self.cfg.num_eval_steps, self.current_epoch,
+            self.cfg.multi_step_loss_num_epochs))
+        frames = self._shard_batch(jnp.asarray(frames))
+        step = self._get_eval_step(spec)
+        loss, aux = step(self.meta_params, frames, msl_w)
+        losses = {"loss": float(loss), "total": float(aux["query_loss"]),
+                  "psnr": float(aux["psnr"]), "ssim": float(aux["ssim"])}
+        return losses, aux["preds"]
+
+    def run_test_iter(self, frames):
+        """Slow-motion synthesis on 4 consecutive frames (:630-697)."""
+        spec = self._episode_spec("test", self.cfg.num_eval_steps,
+                                  self.cfg.second_order, False)
+        frames = jnp.asarray(frames)
+        step = self._get_test_step(spec)
+        return step(self.meta_params, frames)
+
+    def epoch_end(self, val_loss: float):
+        """Plateau LR schedule hook — call once per epoch with val loss."""
+        new_lr = self.scheduler.step(val_loss)
+        # optax.inject_hyperparams exposes the lr in opt_state.hyperparams
+        try:
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
+        except (AttributeError, TypeError):
+            pass
+
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict[str, Any]:
+        return {"meta_params": self.meta_params, "opt_state": self.opt_state,
+                "epoch": self.current_epoch}
+
+    def load_state_dict(self, state: Dict[str, Any]):
+        self.meta_params = state["meta_params"]
+        if state.get("opt_state") is not None:
+            self.opt_state = state["opt_state"]
+        self.current_epoch = int(state.get("epoch", 0))

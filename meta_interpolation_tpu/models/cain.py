@@ -1,0 +1,148 @@
+"""CAIN — Channel Attention Is All You Need for VFI (the flagship backbone).
+
+Reference: ``/root/reference/cain/model.py:10-118`` +
+``/root/reference/model_utils.py:931-1053``.
+
+Architecture (depth=3): PixelShuffle ×1/8 space→depth on both frames (3→192
+channels), concat → headConv 3×3 → 5 residual groups × 12 RCAB channel-
+attention blocks (reflect-pad 3×3 convs, LeakyReLU(0.2), CA reduction 16) →
+tailConv 3×3 → PixelShuffle ×8 depth→space. Global mean-shift trick:
+subtract per-frame spatial mean, add back the average of both means
+(cain/model.py:70-94). Inputs padded to a ×128 grid with reflection
+(model_utils.py:17-28).
+
+TPU notes: everything is 3×3 convs over a (H/8, W/8, 192) tensor — XLA maps
+these straight onto the MXU; at 448×256 input the working set after shuffling
+is 56×32×192, small enough that the whole body stays fused in VMEM-friendly
+tiles. bfloat16-safe.
+
+Param tree mirrors the torch state_dict
+(``encoder.interpolate.body.{g}.body.{b}...``) so checkpoint conversion is a
+rename (core/checkpoint.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from . import layers
+from .layers import Params
+
+
+def _xavier_conv(rng, in_ch, out_ch, k):
+    """xavier_uniform weight + zero bias (reference MetaConv2dLayer:329-333)."""
+    fan_in = in_ch * k * k
+    fan_out = out_ch * k * k
+    bound = jnp.sqrt(6.0 / (fan_in + fan_out))
+    kernel = jax.random.uniform(rng, (k, k, in_ch, out_ch), minval=-bound,
+                                maxval=bound)
+    return {"kernel": kernel, "bias": jnp.zeros((out_ch,))}
+
+
+def _init_ca_layer(rng, ch: int, reduction: int) -> Params:
+    r1, r2 = jax.random.split(rng)
+    return {"conv_du": {
+        "0": _xavier_conv(r1, ch, ch // reduction, 1),
+        "2": _xavier_conv(r2, ch // reduction, ch, 1),
+    }}
+
+
+def _init_conv_norm(rng, in_ch, out_ch, k) -> Params:
+    return {"conv": _xavier_conv(rng, in_ch, out_ch, k)}
+
+
+def _init_rcab(rng, ch: int, reduction: int) -> Params:
+    r0, r2, r3 = jax.random.split(rng, 3)
+    # body indices follow MetaSequential(ConvNorm, act, ConvNorm, CALayer)
+    return {"body": {
+        "0": _init_conv_norm(r0, ch, ch, 3),
+        "2": _init_conv_norm(r2, ch, ch, 3),
+        "3": _init_ca_layer(r3, ch, reduction),
+    }}
+
+
+def _init_residual_group(rng, n_resblocks: int, ch: int, reduction: int) -> Params:
+    rngs = jax.random.split(rng, n_resblocks + 1)
+    body = {str(i): _init_rcab(rngs[i], ch, reduction) for i in range(n_resblocks)}
+    body[str(n_resblocks)] = _init_conv_norm(rngs[-1], ch, ch, 3)
+    return {"body": body}
+
+
+def init(rng: jax.Array, depth: int = 3, n_resgroups: int = 5,
+         n_resblocks: int = 12, reduction: int = 16) -> Params:
+    ch = 3 * (4 ** depth)
+    r_head, r_body, r_tail = jax.random.split(rng, 3)
+    g_rngs = jax.random.split(r_body, n_resgroups)
+    interpolate = {
+        "headConv": _xavier_conv(r_head, ch * 2, ch, 3),
+        "body": {str(g): _init_residual_group(g_rngs[g], n_resblocks, ch, reduction)
+                 for g in range(n_resgroups)},
+        "tailConv": _xavier_conv(r_tail, ch, ch, 3),
+    }
+    return {"encoder": {"interpolate": interpolate}}
+
+
+def _conv_norm(p: Params, x, k: int = 3):
+    """Reflect-pad conv (reference MetaConvNorm, model_utils.py:821-848)."""
+    x = layers.reflect_pad(x, k // 2)
+    return layers.conv2d(p["conv"], x, padding="VALID")
+
+
+def _ca_layer(p: Params, x):
+    y = layers.global_avg_pool(x)
+    y = layers.conv2d(p["conv_du"]["0"], y, padding="VALID")
+    y = jax.nn.relu(y)
+    y = layers.conv2d(p["conv_du"]["2"], y, padding="VALID")
+    y = jax.nn.sigmoid(y)
+    return x * y
+
+
+def _rcab(p: Params, x, slope: float = 0.2):
+    out = _conv_norm(p["body"]["0"], x)
+    out = layers.leaky_relu(out, slope)
+    out = _conv_norm(p["body"]["2"], out)
+    out = _ca_layer(p["body"]["3"], out)
+    return out + x
+
+
+def _residual_group(p: Params, x, n_resblocks: int):
+    res = x
+    for i in range(n_resblocks):
+        res = _rcab(p["body"][str(i)], res)
+    res = _conv_norm(p["body"][str(n_resblocks)], res)
+    return res + x
+
+
+def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int):
+    x = jnp.concatenate([x0, x1], axis=-1)
+    x = layers.conv2d(p["headConv"], x, padding=1)
+    res = x
+    for g in range(n_resgroups):
+        res = _residual_group(p["body"][str(g)], res, n_resblocks)
+    res = res + x
+    return layers.conv2d(p["tailConv"], res, padding=1)
+
+
+def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
+          depth: int = 3, n_resgroups: int = 5, n_resblocks: int = 12,
+          **_unused) -> jnp.ndarray:
+    """CAIN forward. NHWC [0,1] frames → NHWC interpolated midpoint frame.
+
+    Mirrors MetaCAIN.forward (cain/model.py:70-94): sub-mean → pad×128 →
+    shuffle-down → interpolate → shuffle-up → unpad → add mean average.
+    """
+    x1, m1 = layers.sub_mean(frame0)
+    x2, m2 = layers.sub_mean(frame1)
+    x1, pads = layers.pad_to_multiple(x1, 128)
+    x2, _ = layers.pad_to_multiple(x2, 128)
+
+    scale = 1.0 / (2 ** depth)
+    f1 = layers.pixel_shuffle(x1, scale)
+    f2 = layers.pixel_shuffle(x2, scale)
+    feats = _interpolation(params["encoder"]["interpolate"], f1, f2,
+                           n_resgroups, n_resblocks)
+    out = layers.pixel_shuffle(feats, float(2 ** depth))
+    out = layers.unpad(out, pads)
+    return out + (m1 + m2) / 2.0

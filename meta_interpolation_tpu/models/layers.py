@@ -1,0 +1,263 @@
+"""Shared functional layers (NHWC, TPU-friendly).
+
+These replace the reference's meta-layer library
+(``/root/reference/model_utils.py``): plain functions over ``{'kernel','bias'}``
+pytrees instead of ``params=``-threaded nn.Modules. All activations keep NHWC
+layout (XLA's preferred TPU conv layout); kernels are HWIO.
+
+Initialization matches torch defaults (kaiming-uniform a=sqrt(5) for conv
+weight, uniform ±1/sqrt(fan_in) bias) so random-init training dynamics are
+comparable with the reference.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch nn.Conv2d default semantics)
+# ---------------------------------------------------------------------------
+
+def conv_init(rng: jax.Array, in_ch: int, out_ch: int, ksize,
+              bias: bool = True) -> Params:
+    """Init a conv layer the way torch does (kaiming_uniform(a=√5))."""
+    if isinstance(ksize, int):
+        ksize = (ksize, ksize)
+    k_rng, b_rng = jax.random.split(rng)
+    fan_in = in_ch * ksize[0] * ksize[1]
+    # kaiming_uniform with a=sqrt(5) → bound = sqrt(6 / ((1 + a^2) * fan_in))
+    bound = math.sqrt(6.0 / (6.0 * fan_in))
+    kernel = jax.random.uniform(k_rng, (ksize[0], ksize[1], in_ch, out_ch),
+                                minval=-bound, maxval=bound)
+    p: Params = {"kernel": kernel}
+    if bias:
+        b_bound = 1.0 / math.sqrt(fan_in)
+        p["bias"] = jax.random.uniform(b_rng, (out_ch,), minval=-b_bound,
+                                       maxval=b_bound)
+    return p
+
+
+def linear_init(rng: jax.Array, in_f: int, out_f: int, bias: bool = True) -> Params:
+    k_rng, b_rng = jax.random.split(rng)
+    bound = math.sqrt(6.0 / (6.0 * in_f))
+    p: Params = {"kernel": jax.random.uniform(k_rng, (in_f, out_f),
+                                              minval=-bound, maxval=bound)}
+    if bias:
+        b_bound = 1.0 / math.sqrt(in_f)
+        p["bias"] = jax.random.uniform(b_rng, (out_f,), minval=-b_bound,
+                                       maxval=b_bound)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
+           padding="SAME", dilation: int = 1,
+           groups: int = 1) -> jnp.ndarray:
+    """NHWC conv. ``padding``: 'SAME' | 'VALID' | int | ((t,b),(l,r))."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    kernel = p["kernel"].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
+    )
+    if out.dtype != x.dtype:
+        out = out.astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def conv2d_transpose(p: Params, x: jnp.ndarray, stride: int = 2,
+                     padding: int = 1) -> jnp.ndarray:
+    """Transposed conv matching torch ConvTranspose2d(k, stride, padding).
+
+    Kernel stored HWIO with I=in_ch of the *forward* direction (torch layout
+    converted); implemented via lhs-dilated conv.
+    """
+    kernel = p["kernel"].astype(x.dtype)
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad_h = kh - 1 - padding
+    pad_w = kw - 1 - padding
+    out = jax.lax.conv_general_dilated(
+        x, jnp.flip(kernel, (0, 1)).swapaxes(2, 3),
+        (1, 1), ((pad_h, pad_h + stride - 1), (pad_w, pad_w + stride - 1)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    out = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
+def reflect_pad(x: jnp.ndarray, pad) -> jnp.ndarray:
+    """Reflection pad NHWC. ``pad``: int or (left, right, top, bottom)."""
+    if isinstance(pad, int):
+        l = r = t = b = pad
+    else:
+        l, r, t, b = pad
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="reflect")
+
+
+def replicate_pad(x: jnp.ndarray, pad) -> jnp.ndarray:
+    if isinstance(pad, int):
+        l = r = t = b = pad
+    else:
+        l, r, t, b = pad
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+
+
+def leaky_relu(x, negative_slope=0.2):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def avg_pool(x: jnp.ndarray, window: int = 2, stride: Optional[int] = None) -> jnp.ndarray:
+    stride = stride or window
+    out = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                (1, window, window, 1), (1, stride, stride, 1),
+                                "VALID")
+    return out / (window * window)
+
+
+def max_pool(x: jnp.ndarray, window: int = 2, stride: Optional[int] = None) -> jnp.ndarray:
+    stride = stride or window
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, window, window, 1), (1, stride, stride, 1),
+                                 "VALID")
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC → N11C (reference AdaptiveAvgPool2d(1))."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def upsample_bilinear(x: jnp.ndarray, scale: int = 2,
+                      align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear ×scale upsample matching torch Upsample(mode='bilinear')."""
+    n, h, w, c = x.shape
+    out_h, out_w = h * scale, w * scale
+    return resize_bilinear(x, (out_h, out_w), align_corners)
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
+                    align_corners: bool = False) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    out_h, out_w = out_hw
+    if align_corners:
+        ys = jnp.linspace(0.0, h - 1.0, out_h)
+        xs = jnp.linspace(0.0, w - 1.0, out_w)
+    else:
+        ys = (jnp.arange(out_h) + 0.5) * (h / out_h) - 0.5
+        xs = (jnp.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    ys = jnp.clip(ys, 0, h - 1)
+    xs = jnp.clip(xs, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def pixel_shuffle(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """PixelShuffle for scale ≥1 (up) or <1 (down) — reference
+    model_utils.py:202-228, NHWC formulation.
+
+    scale ≥ 1: (N,H,W,C) → (N, H*s, W*s, C/s²)
+    scale < 1: (N,H,W,C) → (N, H*s, W*s, C/s²) with s<1, i.e. space→depth.
+
+    Channel ordering matches the torch reference so converted weights are
+    bit-compatible: torch up-shuffle views C as (C_out, s, s) and interleaves
+    (h, s_h, w, s_w); down-shuffle packs blocks as (b_h, b_w, C).
+    """
+    n, h, w, c = x.shape
+    if scale >= 1:
+        s = int(scale)
+        oc = c // (s * s)
+        # torch NCHW: view (N, oc, s, s, H, W) → permute (N, oc, H, s, W, s)
+        # NHWC equivalent: channels are laid out as (oc, s, s)
+        xv = x.reshape(n, h, w, oc, s, s)
+        xv = xv.transpose(0, 1, 4, 2, 5, 3)  # N, H, s_h, W, s_w, oc
+        return xv.reshape(n, h * s, w * s, oc)
+    else:
+        b = int(round(1.0 / scale))
+        oh, ow = h // b, w // b
+        # torch down: view (N, C, oh, b, ow, b) → permute (N, C, b, b, oh, ow)
+        # → out channels laid out as (C, b_h, b_w) in NCHW → NHWC channels
+        # ordering (c, b_h, b_w)
+        xv = x.reshape(n, oh, b, ow, b, c)
+        xv = xv.transpose(0, 1, 3, 5, 2, 4)  # N, oh, ow, C, b_h, b_w
+        return xv.reshape(n, oh, ow, c * b * b)
+
+
+def sub_mean(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Subtract per-image per-channel spatial mean (model_utils.py:11-15)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    return x - mean, mean
+
+
+def pad_to_multiple(x: jnp.ndarray, multiple: int = 128) -> Tuple[jnp.ndarray, Tuple[int, int, int, int]]:
+    """Reflect-pad H,W up to the next multiple (model_utils.py:17-28).
+
+    Returns (padded, (left, right, top, bottom)) — crop with
+    :func:`unpad`. Pad amounts are python ints (shapes are static under jit).
+    """
+    h, w = x.shape[1], x.shape[2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    l, r = pw // 2, pw - pw // 2
+    t, b = ph // 2, ph - ph // 2
+    if ph == 0 and pw == 0:
+        return x, (0, 0, 0, 0)
+    return reflect_pad(x, (l, r, t, b)), (l, r, t, b)
+
+
+def unpad(x: jnp.ndarray, pads: Tuple[int, int, int, int]) -> jnp.ndarray:
+    l, r, t, b = pads
+    h, w = x.shape[1], x.shape[2]
+    return x[:, t:h - b if b else h, l:w - r if r else w, :]
+
+
+# ---------------------------------------------------------------------------
+# Norm layers
+# ---------------------------------------------------------------------------
+
+def batch_norm_init(ch: int) -> Params:
+    return {"scale": jnp.ones((ch,)), "bias": jnp.zeros((ch,)),
+            "mean": jnp.zeros((ch,)), "var": jnp.ones((ch,))}
+
+
+def batch_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Frozen (eval-mode) batch norm using stored running stats.
+
+    VoxelFlow permanently freezes its BN (voxel_flow.py:283-284,352-355), so
+    the functional form is a fixed affine transform. ``mean``/``var`` live in
+    the params tree but are excluded from inner-loop adaptation by the
+    trainable-mask machinery (meta/episode.py) unless
+    ``enable_inner_loop_optimizable_bn_params`` is set.
+    """
+    inv = jax.lax.rsqrt(p["var"].astype(x.dtype) + eps)
+    return (x - p["mean"].astype(x.dtype)) * inv * p["scale"].astype(x.dtype) \
+        + p["bias"].astype(x.dtype)

@@ -1,0 +1,124 @@
+"""Model registry — dispatch by ``--model`` name.
+
+Replaces the if/elif chain in the reference
+(``/root/reference/meta_learning_system.py:49-81``). Each entry carries the
+functional init/apply pair plus the per-model data-normalization convention
+(``meta_learning_system.py:70-79, 434-447`` and
+``data/vimeo_septuplet.py:31-40,73-81``):
+
+  * cain / sepconv / rrin:   frames in [0,1], prediction in [0,1]
+  * superslomo:              frames mean-subtracted by (0.429, 0.431, 0.397)
+  * voxelflow:               frames normalized (x*255 - 127.5)/127.5
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class ModelDef:
+    name: str
+    init: Callable[..., Any]
+    apply: Callable[..., Any]
+    # map [0,1] NHWC frames → model input space
+    normalize: Callable[[jnp.ndarray], jnp.ndarray]
+    # map model output → [0,1] NHWC for metrics/saving
+    denormalize: Callable[[jnp.ndarray], jnp.ndarray]
+    pad_multiple: int = 128
+    # prediction aux: model returns (pred, aux_dict) instead of pred
+    returns_aux: bool = False
+    # eval-tiling threshold on H*W (experiment_builder.py:103-104); RRIN 3e5
+    tile_pixel_limit: float = 5e5
+
+
+_REGISTRY: Dict[str, ModelDef] = {}
+
+
+def register(model_def: ModelDef):
+    _REGISTRY[model_def.name] = model_def
+    return model_def
+
+
+def get(name: str) -> ModelDef:
+    name = name.lower()
+    if name not in _REGISTRY:
+        _load_all()
+    if name not in _REGISTRY:
+        raise NotImplementedError(
+            f"Model {name!r} not implemented; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def available() -> Tuple[str, ...]:
+    _load_all()
+    return tuple(sorted(_REGISTRY))
+
+
+_identity = lambda x: x
+
+_SSM_MEAN = jnp.asarray([0.429, 0.431, 0.397])
+
+
+def _ssm_normalize(x):
+    return x - _SSM_MEAN
+
+
+def _ssm_denormalize(x):
+    return x + _SSM_MEAN
+
+
+def _vf_normalize(x):
+    # reference keeps 0-255 then Normalize(mean=127.5, std=127.5)
+    return (x * 255.0 - 127.5) / 127.5
+
+
+def _vf_denormalize(x):
+    return (x * 127.5 + 127.5) / 255.0
+
+
+def _load_all():
+    """Import model modules lazily so optional deps never block the rest."""
+    from . import cain as _cain  # noqa: F401
+    if "cain" not in _REGISTRY:
+        register(ModelDef("cain", _cain.init, _cain.apply,
+                          _identity, _identity, pad_multiple=128))
+    try:
+        from . import sepconv as _sepconv
+        if "sepconv" not in _REGISTRY:
+            register(ModelDef("sepconv", _sepconv.init, _sepconv.apply,
+                              _identity, _identity, pad_multiple=128))
+    except ImportError:
+        pass
+    try:
+        from . import rrin as _rrin
+        if "rrin" not in _REGISTRY:
+            register(ModelDef("rrin", _rrin.init, _rrin.apply,
+                              _identity, _identity, pad_multiple=128,
+                              tile_pixel_limit=3e5))
+    except ImportError:
+        pass
+    try:
+        from . import superslomo as _ssm
+        if "superslomo" not in _REGISTRY:
+            register(ModelDef("superslomo", _ssm.init, _ssm.apply,
+                              _ssm_normalize, _ssm_denormalize,
+                              pad_multiple=128, returns_aux=True))
+    except ImportError:
+        pass
+    try:
+        from . import voxelflow as _vf
+        if "voxelflow" not in _REGISTRY:
+            register(ModelDef("voxelflow", _vf.init, _vf.apply,
+                              _vf_normalize, _vf_denormalize, pad_multiple=64))
+    except ImportError:
+        pass
+    try:
+        from .dain import model as _dain
+        if "dain" not in _REGISTRY:
+            register(ModelDef("dain", _dain.init, _dain.apply,
+                              _identity, _identity, pad_multiple=128))
+    except ImportError:
+        pass

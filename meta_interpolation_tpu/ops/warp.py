@@ -1,0 +1,138 @@
+"""Bilinear grid sampling and backward warping.
+
+TPU-native replacement for every ``F.grid_sample`` call in the reference:
+  * RRIN's ``warp`` (rrin/model.py:8-21) — zeros padding, align_corners=False,
+    and the RRIN normalization quirk ``2*(x/W - 0.5)`` (an effective
+    half-pixel shift; preserved bit-for-bit).
+  * SuperSloMo ``backWarp`` (superslomo/model.py:231-303) — same convention.
+  * VoxelFlow trilinear sampling (voxel_flow.py:471-507) — border padding,
+    align_corners=True.
+  * DAIN interpolation_cuda / PWCNet warp — direct pixel-space flow.
+
+Formulated as an XLA one-hot matmul-free gather: flattened spatial indices +
+``jnp.take`` with bilinear corner weights. Gathers lower to efficient TPU
+dynamic-slices; the backward pass is XLA's scatter-add — race-free by
+construction (the reference needs atomicAdd for this, SURVEY.md §5).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_pixels(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
+                   padding_mode: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather img[b, iy, ix, :] with integer indices.
+
+    Returns (values, inbounds_mask). img: (N,H,W,C); ix/iy: (N,Ho,Wo) int32.
+    """
+    n, h, w, c = img.shape
+    inb = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1))
+    ixc = jnp.clip(ix, 0, w - 1)
+    iyc = jnp.clip(iy, 0, h - 1)
+    flat = img.reshape(n, h * w, c)
+    idx = iyc * w + ixc  # (N,Ho,Wo)
+    vals = jnp.take_along_axis(
+        flat, idx.reshape(n, -1, 1), axis=1).reshape(*idx.shape, c)
+    if padding_mode == "zeros":
+        vals = vals * inb[..., None].astype(vals.dtype)
+    return vals, inb
+
+
+def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
+                align_corners: bool = False,
+                padding_mode: str = "zeros") -> jnp.ndarray:
+    """torch.nn.functional.grid_sample (bilinear) semantics, NHWC.
+
+    img: (N, H, W, C); grid: (N, Ho, Wo, 2) with (x, y) in [-1, 1].
+    """
+    n, h, w, c = img.shape
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        ix = (gx + 1.0) * 0.5 * (w - 1)
+        iy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        ix = ((gx + 1.0) * w - 1.0) * 0.5
+        iy = ((gy + 1.0) * h - 1.0) * 0.5
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1)
+        iy = jnp.clip(iy, 0.0, h - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = (ix - x0).astype(img.dtype)[..., None]
+    wy = (iy - y0).astype(img.dtype)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    v00, _ = _gather_pixels(img, x0i, y0i, padding_mode)
+    v01, _ = _gather_pixels(img, x0i + 1, y0i, padding_mode)
+    v10, _ = _gather_pixels(img, x0i, y0i + 1, padding_mode)
+    v11, _ = _gather_pixels(img, x0i + 1, y0i + 1, padding_mode)
+
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def backward_warp(img: jnp.ndarray, flow: jnp.ndarray,
+                  align_corners: bool = False,
+                  padding_mode: str = "zeros") -> jnp.ndarray:
+    """Warp ``img`` by pixel-space ``flow``: out(y,x) = img(y+v, x+u).
+
+    flow: (N, H, W, 2) channel-last (u=dx, v=dy). This is the standard
+    convention used by SuperSloMo's backWarp (superslomo/model.py:283-302)
+    and DAIN's interpolation op.
+    """
+    n, h, w, _ = img.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ix = xs + flow[..., 0].astype(jnp.float32)
+    iy = ys + flow[..., 1].astype(jnp.float32)
+    if align_corners:
+        gx = 2.0 * ix / (w - 1) - 1.0
+        gy = 2.0 * iy / (h - 1) - 1.0
+    else:
+        gx = (2.0 * ix + 1.0) / w - 1.0
+        gy = (2.0 * iy + 1.0) / h - 1.0
+    return grid_sample(img, jnp.stack([gx, gy], axis=-1),
+                       align_corners=align_corners, padding_mode=padding_mode)
+
+
+def backward_warp_rrin(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """RRIN's exact warp (rrin/model.py:8-21): grid normalized as
+    ``2*(pos/size - 0.5)`` with align_corners=False → effective sample at
+    ``pos - 0.5`` (the reference's half-pixel quirk, preserved for weight
+    parity). Also fixes the reference perf bug of rebuilding the meshgrid on
+    the host every call — here it's constant-folded by XLA.
+    """
+    n, h, w, _ = img.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x = xs + flow[..., 0].astype(jnp.float32)
+    y = ys + flow[..., 1].astype(jnp.float32)
+    gx = 2.0 * (x / w - 0.5)
+    gy = 2.0 * (y / h - 0.5)
+    return grid_sample(img, jnp.stack([gx, gy], axis=-1),
+                       align_corners=False, padding_mode="zeros")
+
+
+def voxelflow_sample(frame0: jnp.ndarray, frame1: jnp.ndarray,
+                     flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """DVF trilinear sampling (voxel_flow.py:471-507): sample frame0 at
+    +flow and frame1 at −flow (align_corners=True, border padding), blend
+    with the soft occlusion mask.
+
+    flow: (N,H,W,2) in *normalized* units as emitted by the tanh head
+    (the reference multiplies by the grid range); here flow is already in
+    pixel units. mask: (N,H,W,1) in [-1,1] → blended as (1+mask)/2.
+    """
+    w0 = backward_warp(frame0, flow, align_corners=True,
+                       padding_mode="border")
+    w1 = backward_warp(frame1, -flow, align_corners=True,
+                       padding_mode="border")
+    m = (1.0 + mask) / 2.0
+    return m * w0 + (1.0 - m) * w1

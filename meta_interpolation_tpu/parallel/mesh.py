@@ -1,0 +1,70 @@
+"""Device mesh + episode (task) parallelism.
+
+The reference has *no* multi-device execution (SURVEY.md §2.5 — only
+commented-out DataParallel remnants at meta_learning_system.py:174-183,
+298-302). This module is the TPU-native scale-out design:
+
+  * a 2-D logical mesh ``(task, spatial)``: the task axis shards the episode
+    batch (pure data parallelism over scenes — each device runs whole inner
+    loops locally, XLA inserts one psum for the outer gradient, riding ICI);
+    the spatial axis shards frame rows for HD eval (parallel/spatial.py).
+  * inputs are placed with ``jax.device_put`` under a NamedSharding; jit's
+    computation-follows-data propagates the sharding through the episode, so
+    no code changes are needed in the meta engine.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+TASK_AXIS = "task"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(mesh_shape: Optional[str] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build the (task, spatial) mesh.
+
+    ``mesh_shape``: "8" → 8-way task parallel; "4x2" → 4-way task × 2-way
+    spatial. Default: all devices on the task axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if mesh_shape:
+        dims = tuple(int(x) for x in mesh_shape.lower().split("x"))
+        if len(dims) == 1:
+            dims = (dims[0], 1)
+    else:
+        dims = (n, 1)
+    if dims[0] * dims[1] != n:
+        raise ValueError(f"mesh {dims} != {n} devices")
+    dev_array = np.asarray(devices).reshape(dims)
+    return Mesh(dev_array, (TASK_AXIS, SPATIAL_AXIS))
+
+
+def task_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (tasks) of a (B, T, H, W, C) batch over the task axis."""
+    return NamedSharding(mesh, P(TASK_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_task_batch(mesh: Mesh, frames):
+    """Place a (B, T, H, W, C) batch sharded over tasks.
+
+    B must be divisible by the task-axis size; the loader guarantees this by
+    construction (batch_size is a multiple of the mesh task dim).
+    """
+    return jax.device_put(frames, task_sharding(mesh))
+
+
+def replicate_params(mesh: Mesh, params):
+    """Replicate the meta-params across the mesh (they are identical on all
+    devices; XLA all-reduces the outer grads automatically)."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), params)

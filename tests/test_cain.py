@@ -1,0 +1,85 @@
+"""CAIN model tests (tiny configs so CPU compile stays fast)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meta_interpolation_tpu.models import cain, layers
+
+
+def test_pixel_shuffle_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
+    down = layers.pixel_shuffle(x, 0.5)
+    assert down.shape == (2, 4, 4, 12)
+    up = layers.pixel_shuffle(down, 2.0)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(x), rtol=1e-6)
+
+
+def test_pixel_shuffle_matches_torch_ordering():
+    """Our NHWC shuffle must match the reference NCHW pixel_shuffle
+    (model_utils.py:202-217) after layout conversion, so converted .pth
+    weights stay bit-compatible."""
+    import torch
+
+    def torch_pixel_shuffle(t, scale):
+        b, c, h, w = t.shape
+        if scale >= 1:
+            s = int(scale)
+            oc = c // (s * s)
+            v = t.contiguous().view(b, oc, s, s, h, w)
+            return v.permute(0, 1, 4, 2, 5, 3).contiguous().view(b, oc, h * s, w * s)
+        bs = int(1 / scale)
+        oh, ow = h // bs, w // bs
+        v = t.contiguous().view(b, c, oh, bs, ow, bs)
+        return v.permute(0, 1, 3, 5, 2, 4).contiguous().view(b, c * bs * bs, oh, ow)
+
+    x = np.random.RandomState(1).rand(1, 12, 4, 6).astype(np.float32)  # NCHW
+    for scale in (2.0, 0.5):
+        ref = torch_pixel_shuffle(torch.from_numpy(x), scale).numpy()
+        ours = layers.pixel_shuffle(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), scale)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.transpose(0, 2, 3, 1), rtol=1e-6)
+
+
+def test_tiny_cain_forward_shape_and_grad():
+    rng = jax.random.PRNGKey(0)
+    p = cain.init(rng, depth=1, n_resgroups=1, n_resblocks=1)
+    f0 = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    f1 = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
+
+    def apply(p, a, b):
+        return cain.apply(p, a, b, depth=1, n_resgroups=1, n_resblocks=1)
+
+    out = apply(p, f0, f1)
+    assert out.shape == (1, 16, 16, 3)
+
+    g = jax.grad(lambda p: jnp.mean(jnp.abs(apply(p, f0, f1) - f0)))(p)
+    norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
+    assert all(np.isfinite(norms))
+    assert any(n > 0 for n in norms)
+
+
+def test_cain_mean_shift_identity_property():
+    """With all-zero conv weights the network output reduces to the average
+    of the two input means (the mean-shift trick, cain/model.py:70-94)."""
+    p = cain.init(jax.random.PRNGKey(0), depth=1, n_resgroups=1, n_resblocks=1)
+    p_zero = jax.tree.map(jnp.zeros_like, p)
+    f0 = jnp.full((1, 16, 16, 3), 0.25)
+    f1 = jnp.full((1, 16, 16, 3), 0.75)
+    out = cain.apply(p_zero, f0, f1, depth=1, n_resgroups=1, n_resblocks=1)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def test_pad_to_multiple_reflect():
+    x = jnp.asarray(np.arange(2 * 5 * 7 * 1, dtype=np.float32).reshape(2, 5, 7, 1))
+    padded, pads = layers.pad_to_multiple(x, 8)
+    assert padded.shape == (2, 8, 8, 1)
+    restored = layers.unpad(padded, pads)
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(x))
+
+
+def test_param_count_matches_reference_cain():
+    """Full-size CAIN must have the reference's 42.8M parameters."""
+    p = cain.init(jax.random.PRNGKey(0))
+    n = sum(x.size for x in jax.tree.leaves(p))
+    assert n == 42_780_432, n

@@ -1,0 +1,161 @@
+"""Episode engine tests on a tiny linear model.
+
+Checks the scan-based MAML episode against a hand-unrolled python loop
+(the structure the reference implements at meta_learning_system.py:366-432),
+plus the MSL importance vector math (:186-210) and L2F plumbing (:231-272).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meta_interpolation_tpu.meta.episode import (
+    EpisodeBuilder, EpisodeSpec, per_step_loss_importance, init_attenuator)
+from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+
+
+def tiny_apply(params, f0, f1):
+    """A 1-parameter 'interpolator': w * (f0+f1)/2 + b."""
+    return params["w"] * (f0 + f1) / 2.0 + params["b"]
+
+
+def tiny_loss(pred, target, aux=None):
+    l = jnp.mean((pred - target) ** 2)
+    return {"MSE": l, "total": l}
+
+
+def make_frames(T=7, H=4, W=4, C=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.rand(T, H, W, C).astype(np.float32))
+
+
+def test_msl_vector_matches_reference_math():
+    # reference get_per_step_loss_importance_vector, num_steps=3
+    n, epochs = 3, 10
+    for epoch in range(4):
+        w = per_step_loss_importance(n, epoch, epochs)
+        decay = 1.0 / n / epochs
+        exp = np.ones(n) / n
+        for i in range(n - 1):
+            exp[i] = max(exp[i] - epoch * decay, 0.03 / n)
+        exp[-1] = min(exp[-1] + epoch * (n - 1) * decay, 1.0 - (n - 1) * 0.03 / n)
+        np.testing.assert_allclose(w, exp, rtol=1e-6)
+    assert per_step_loss_importance(0, 5, 1).tolist() == [1.0]
+
+
+def _builder(rule="SGD", lr_mode="fixed", num_steps=2):
+    opt = InnerOptimizer(rule=rule, lr_mode=lr_mode, num_steps=num_steps)
+    return EpisodeBuilder(tiny_apply, tiny_loss, opt), opt
+
+
+def test_adapt_matches_hand_unrolled_loop():
+    builder, opt = _builder(num_steps=2)
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    lrs = opt.init_lrs(params, 0.05)
+    frames = make_frames()
+    spec = EpisodeSpec(num_steps=2, second_order=True)
+
+    adapted, _ = builder.adapt(params, lrs, frames, spec)
+
+    # hand-unrolled: two SGD steps on support loss
+    p = dict(params)
+    for _step in range(2):
+        def support_loss(p_):
+            total = 0.0
+            for (i0, it, i1) in spec.support_idxs:
+                pred = tiny_apply(p_, frames[i0][None], frames[i1][None])
+                total = total + jnp.mean((pred - frames[it][None]) ** 2)
+            return total
+        g = jax.grad(support_loss)(p)
+        p = {k: p[k] - 0.05 * g[k] for k in p}
+
+    np.testing.assert_allclose(float(adapted["w"]), float(p["w"]), rtol=1e-5)
+    np.testing.assert_allclose(float(adapted["b"]), float(p["b"]), rtol=1e-5)
+
+
+def test_zero_steps_is_plain_forward():
+    """num_steps=0 (run_rrin.sh fine-tune-free mode) → query on the init."""
+    builder, opt = _builder(num_steps=0)
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    lrs = opt.init_lrs(params, 0.05)
+    frames = make_frames()
+    spec = EpisodeSpec(num_steps=0)
+    meta = {"net": params, "lrs": lrs}
+    loss, pred, q = builder.task_episode(meta, frames, jnp.ones((1,)), spec)
+    expected = tiny_apply(params, frames[2][None], frames[4][None])
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(expected[0]),
+                               rtol=1e-6)
+
+
+def test_msl_weighting():
+    builder, opt = _builder(num_steps=2)
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    lrs = opt.init_lrs(params, 0.05)
+    frames = make_frames()
+    msl_w = jnp.asarray([0.3, 0.7])
+    spec = EpisodeSpec(num_steps=2, use_msl=True, second_order=True)
+    meta = {"net": params, "lrs": lrs}
+    loss, _, _ = builder.task_episode(meta, frames, msl_w, spec, training=True)
+
+    # manual: per-step query losses weighted
+    p = dict(params)
+    expected = 0.0
+    for step in range(2):
+        def support_loss(p_):
+            total = 0.0
+            for (i0, it, i1) in spec.support_idxs:
+                pred = tiny_apply(p_, frames[i0][None], frames[i1][None])
+                total = total + jnp.mean((pred - frames[it][None]) ** 2)
+            return total
+        g = jax.grad(support_loss)(p)
+        p = {k: p[k] - 0.05 * g[k] for k in p}
+        q = jnp.mean((tiny_apply(p, frames[2][None], frames[4][None])
+                      - frames[3][None]) ** 2)
+        expected = expected + float(msl_w[step]) * float(q)
+
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+def test_batched_episode_vmaps_over_tasks():
+    builder, opt = _builder(num_steps=1)
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    lrs = opt.init_lrs(params, 0.05)
+    batch = jnp.stack([make_frames(seed=i) for i in range(3)])
+    spec = EpisodeSpec(num_steps=1, second_order=True)
+    meta = {"net": params, "lrs": lrs}
+    loss, aux = builder.batched_episode(meta, batch, jnp.ones((1,)), spec,
+                                        training=True, with_metrics=True)
+    assert aux["preds"].shape == (3, 4, 4, 3)
+    # mean over per-task losses
+    per_task = [builder.task_episode(meta, batch[i], jnp.ones((1,)), spec)[0]
+                for i in range(3)]
+    np.testing.assert_allclose(float(loss), np.mean([float(x) for x in per_task]),
+                               rtol=1e-5)
+    assert np.isfinite(float(aux["psnr"]))
+
+
+def test_attenuator_initial_gamma_is_one():
+    """gamma_mult starts at 0 → gamma == 1 → init unchanged (ref :117,260)."""
+    builder, opt = _builder(num_steps=1)
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    lrs = opt.init_lrs(params, 0.0)  # zero lr: adaptation is a no-op
+    att = init_attenuator(jax.random.PRNGKey(0), num_layers=2)
+    frames = make_frames()
+    spec = EpisodeSpec(num_steps=1, attenuate=True)
+    meta = {"net": params, "lrs": lrs, "attenuator": att}
+    _, pred, _ = builder.task_episode(meta, frames, jnp.ones((1,)), spec)
+    expected = tiny_apply(params, frames[2][None], frames[4][None])
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(expected[0]),
+                               rtol=1e-5)
+
+
+def test_inner_mask_freezes_leaves():
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=1)
+    mask = {"w": jnp.asarray(0.0), "b": jnp.asarray(1.0)}
+    builder = EpisodeBuilder(tiny_apply, tiny_loss, opt, inner_mask=mask)
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    lrs = opt.init_lrs(params, 0.1)
+    frames = make_frames()
+    spec = EpisodeSpec(num_steps=1, second_order=True)
+    adapted, _ = builder.adapt(params, lrs, frames, spec)
+    np.testing.assert_allclose(float(adapted["w"]), 0.8, rtol=1e-7)
+    assert abs(float(adapted["b"]) - 0.1) > 1e-6

@@ -1,0 +1,122 @@
+"""Inner-loop optimizer math vs. hand-computed reference semantics.
+
+The expected values re-derive the update equations of
+/root/reference/inner_loop_optimizers.py (β1=0.9, β2=0.99, eps=1e-8;
+Adam :150-198, Adamax :201-244) in numpy, independently.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meta_interpolation_tpu.meta.inner_optimizers import (
+    InnerOptimizer, BETA1, BETA2, EPS)
+
+
+def _tree(x):
+    return {"w": jnp.asarray(x, jnp.float32)}
+
+
+def test_sgd_lslr_per_step_lr():
+    opt = InnerOptimizer(rule="SGD", lr_mode="lslr", num_steps=2)
+    params = _tree([1.0, 2.0])
+    lrs = {"w": jnp.asarray([0.1, 0.2, 0.3])}
+    grads = _tree([1.0, 1.0])
+    state = opt.init_state(params)
+    p1, state = opt.update(params, grads, lrs, state, 0)
+    np.testing.assert_allclose(np.asarray(p1["w"]), [0.9, 1.9], rtol=1e-6)
+    p2, state = opt.update(p1, grads, lrs, state, 1)
+    np.testing.assert_allclose(np.asarray(p2["w"]), [0.7, 1.7], rtol=1e-6)
+
+
+def test_adam_two_steps_matches_hand_math():
+    opt = InnerOptimizer(rule="Adam", lr_mode="fixed", num_steps=2)
+    w = np.array([1.0], np.float32)
+    g1 = np.array([0.5], np.float32)
+    g2 = np.array([-0.3], np.float32)
+    lr = 0.01
+
+    params = _tree(w)
+    lrs = opt.init_lrs(params, lr)
+    state = opt.init_state(params)
+    p1, state = opt.update(params, _tree(g1), lrs, state, 0)
+    p2, state = opt.update(p1, _tree(g2), lrs, state, 1)
+
+    # hand math (reference update_adam :159-196)
+    m = (1 - BETA1) * g1
+    v = (1 - BETA2) * g1 * g1
+    denom = np.sqrt(v) / np.sqrt(1 - BETA2 ** 1) + EPS
+    w1 = w - (lr / (1 - BETA1 ** 1)) * m / denom
+    m = BETA1 * m + (1 - BETA1) * g2
+    v = BETA2 * v + (1 - BETA2) * g2 * g2
+    denom = np.sqrt(v) / np.sqrt(1 - BETA2 ** 2) + EPS
+    w2 = w1 - (lr / (1 - BETA1 ** 2)) * m / denom
+
+    np.testing.assert_allclose(np.asarray(p1["w"]), w1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2["w"]), w2, rtol=1e-6)
+
+
+def test_adamax_matches_hand_math():
+    opt = InnerOptimizer(rule="Adamax", lr_mode="fixed", num_steps=1)
+    w = np.array([2.0, -1.0], np.float32)
+    g = np.array([0.4, -0.2], np.float32)
+    lr = 0.05
+
+    params = _tree(w)
+    lrs = opt.init_lrs(params, lr)
+    state = opt.init_state(params)
+    p1, state = opt.update(params, _tree(g), lrs, state, 0)
+
+    # reference update_adamax :226-242: u = max(beta2*u, |g| + eps)
+    m = (1 - BETA1) * g
+    u = np.maximum(BETA2 * 0.0, np.abs(g) + EPS)
+    w1 = w - (lr / (1 - BETA1 ** 1)) * m / u
+    np.testing.assert_allclose(np.asarray(p1["w"]), w1, rtol=1e-6)
+
+
+def test_metasgd_lr_shapes_match_params():
+    opt = InnerOptimizer(rule="SGD", lr_mode="metasgd", num_steps=1)
+    params = {"a": jnp.zeros((3, 4)), "b": jnp.zeros((5,))}
+    lrs = opt.init_lrs(params, 1e-3)
+    assert lrs["a"].shape == (3, 4)
+    assert lrs["b"].shape == (5,)
+    # per-element lr actually applied
+    grads = {"a": jnp.ones((3, 4)), "b": jnp.ones((5,))}
+    lrs = {"a": jnp.full((3, 4), 0.1), "b": jnp.full((5,), 0.2)}
+    state = opt.init_state(params)
+    p, _ = opt.update(params, grads, lrs, state, 0)
+    np.testing.assert_allclose(np.asarray(p["a"]), -0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p["b"]), -0.2, rtol=1e-6)
+
+
+def test_second_order_gradients_flow_through_sgd():
+    """grad-of-grad through the functional inner step must differ from the
+    first-order (stop_gradient) path.
+
+    Uses SGD: a *single* Adam step is ≈ lr·sign(g) (denom=|g|+eps at step 1),
+    whose derivative w.r.t. params is O(eps) — first- and second-order
+    correctly coincide there, so SGD is the discriminating rule.
+    """
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=1)
+
+    x = jnp.asarray([1.0, 2.0])
+    y = jnp.asarray([0.5, 1.5])
+
+    def inner_then_outer(w0, second_order):
+        params = {"w": w0}
+        lrs = opt.init_lrs(params, 0.1)
+        state = opt.init_state(params)
+
+        def support_loss(p):
+            return jnp.mean((p["w"] * x - y) ** 2)
+
+        grads = jax.grad(support_loss)(params)
+        if not second_order:
+            grads = jax.lax.stop_gradient(grads)
+        p1, _ = opt.update(params, grads, lrs, state, 0)
+        return jnp.mean((p1["w"] * y - x) ** 2)
+
+    w0 = jnp.asarray([0.3, -0.2])
+    g_so = jax.grad(lambda w: inner_then_outer(w, True))(w0)
+    g_fo = jax.grad(lambda w: inner_then_outer(w, False))(w0)
+    assert np.all(np.isfinite(np.asarray(g_so)))
+    assert not np.allclose(np.asarray(g_so), np.asarray(g_fo))
