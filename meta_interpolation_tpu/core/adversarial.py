@@ -1,0 +1,146 @@
+"""Adversarial loss — GAN / WGAN / WGAN_GP with an internal discriminator.
+
+Reference: ``/root/reference/loss.py:82-236``. Discriminator: 8 BasicBlocks
+(conv3×3 + BN + LeakyReLU(0.2); strides 2,1 alternating, channels 64→512)
+over a center crop of ``patch_size``, then Linear(·,1024) + LeakyReLU +
+Linear(1024,1) (:89-134). Optimizers (:144-153): Adam β=(0.9,0.99) lr 1e-4
+(GAN/WGAN) or β=(0,0.9) lr 1e-5 (WGAN_GP); WGAN clamps weights to ±1;
+WGAN_GP adds a 10× gradient penalty on interpolates (:195-207).
+
+TPU design note: the reference updates the discriminator *inside* the loss
+call, every forward (:168-213) — host-side mutable state in the middle of
+what is here a jitted episode. We split it: :meth:`generator_loss` is pure
+(safe inside the episode), :meth:`update_discriminator` is a separate
+jitted step the trainer calls once per outer iteration with (pred, real)
+pulled from the episode. BN in the discriminator runs in batch-stats mode
+(training) matching the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import layers
+from ..models.layers import Params
+
+
+_CHANNELS = [(3, 64, 1)]
+_c = 64
+for _i in range(7):
+    if _i % 2 == 1:
+        _CHANNELS.append((_c, _c * 2, 1))
+        _c *= 2
+    else:
+        _CHANNELS.append((_c, _c, 2))
+
+
+def init_discriminator(rng: jax.Array, patch_size: int = 96) -> Params:
+    params: Params = {"features": {}}
+    rngs = jax.random.split(rng, len(_CHANNELS) + 2)
+    for i, (ic, oc, _s) in enumerate(_CHANNELS):
+        params["features"][str(i)] = {
+            "conv": layers.conv_init(rngs[i], ic, oc, 3, bias=False),
+            "bn": layers.batch_norm_init(oc),
+        }
+    feat_patch = patch_size // (2 ** 4)
+    flat = _CHANNELS[-1][1] * feat_patch * feat_patch
+    params["classifier"] = {
+        "0": layers.linear_init(rngs[-2], flat, 1024),
+        "2": layers.linear_init(rngs[-1], 1024, 1),
+    }
+    return params
+
+
+def _batch_bn(x, p):
+    """Training-mode BN (batch statistics) — discriminator always trains."""
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    var = jnp.var(x, axis=(0, 1, 2))
+    inv = jax.lax.rsqrt(var + 1e-5)
+    return (x - mean) * inv * p["scale"] + p["bias"]
+
+
+def discriminator_apply(params: Params, x: jnp.ndarray,
+                        patch_size: int = 96) -> jnp.ndarray:
+    """x: (N,H,W,3) → (N,1) logits; center-crops to patch_size (:126-131)."""
+    h, w = x.shape[1], x.shape[2]
+    if h != patch_size or w != patch_size:
+        mh, mw = h // 2, w // 2
+        p = patch_size // 2
+        x = x[:, mh - p:mh - p + patch_size, mw - p:mw - p + patch_size, :]
+    for i, (_ic, _oc, s) in enumerate(_CHANNELS):
+        blk = params["features"][str(i)]
+        x = layers.conv2d(blk["conv"], x, stride=s, padding=1)
+        x = _batch_bn(x, blk["bn"])
+        x = layers.leaky_relu(x, 0.2)
+    x = x.reshape(x.shape[0], -1)
+    x = layers.leaky_relu(layers.linear(params["classifier"]["0"], x), 0.2)
+    return layers.linear(params["classifier"]["2"], x)
+
+
+@dataclasses.dataclass
+class AdversarialState:
+    gan_type: str
+    params: Params
+    opt_state: Any
+    tx: optax.GradientTransformation
+    patch_size: int = 96
+
+    @classmethod
+    def create(cls, rng: jax.Array, gan_type: str = "GAN",
+               patch_size: int = 96) -> "AdversarialState":
+        params = init_discriminator(rng, patch_size)
+        if gan_type == "WGAN_GP":
+            tx = optax.adam(1e-5, b1=0.0, b2=0.9)
+        else:
+            tx = optax.adam(1e-4, b1=0.9, b2=0.99)
+        return cls(gan_type=gan_type, params=params, opt_state=tx.init(params),
+                   tx=tx, patch_size=patch_size)
+
+    # -- pure generator term (jit-safe inside the episode) -----------------
+    def generator_loss(self, fake: jnp.ndarray) -> jnp.ndarray:
+        d_fake = discriminator_apply(self.params, fake, self.patch_size)
+        if self.gan_type == "GAN":
+            return jnp.mean(
+                optax.sigmoid_binary_cross_entropy(d_fake,
+                                                   jnp.ones_like(d_fake)))
+        return -jnp.mean(d_fake)  # WGAN variants (:226-227)
+
+    # -- discriminator step (outside the episode) --------------------------
+    def update_discriminator(self, fake: jnp.ndarray, real: jnp.ndarray,
+                             rng: jax.Array) -> jnp.ndarray:
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss(params):
+            d_fake = discriminator_apply(params, fake, self.patch_size)
+            d_real = discriminator_apply(params, real, self.patch_size)
+            if self.gan_type == "GAN":
+                return (jnp.mean(optax.sigmoid_binary_cross_entropy(
+                            d_fake, jnp.zeros_like(d_fake)))
+                        + jnp.mean(optax.sigmoid_binary_cross_entropy(
+                            d_real, jnp.ones_like(d_real))))
+            loss = jnp.mean(d_fake - d_real)
+            if self.gan_type == "WGAN_GP":
+                eps = jax.random.uniform(rng, (fake.shape[0], 1, 1, 1))
+                hat = fake * (1 - eps) + real * eps
+
+                def d_sum(h):
+                    return jnp.sum(discriminator_apply(params, h,
+                                                       self.patch_size))
+
+                grads = jax.grad(d_sum)(hat)
+                gnorm = jnp.sqrt(jnp.sum(grads ** 2, axis=(1, 2, 3)) + 1e-12)
+                loss = loss + 10.0 * jnp.mean((gnorm - 1.0) ** 2)
+            return loss
+
+        loss, grads = jax.value_and_grad(d_loss)(self.params)
+        updates, self.opt_state = self.tx.update(grads, self.opt_state,
+                                                 self.params)
+        self.params = optax.apply_updates(self.params, updates)
+        if self.gan_type == "WGAN":
+            self.params = jax.tree.map(lambda p: jnp.clip(p, -1.0, 1.0),
+                                       self.params)
+        return loss

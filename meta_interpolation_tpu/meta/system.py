@@ -91,14 +91,25 @@ class SceneAdaptiveInterpolation:
             self.meta_params["attenuator"] = episode_lib.init_attenuator(
                 r_att, n_layers)
 
-        # inner-loop adaptation mask (DAIN: rectify net only)
+        # inner-loop adaptation mask (sepconv: encoder only; DAIN: rectify
+        # net only — see ModelDef.inner_mask_fn)
         inner_mask = None
-        if cfg.model == "dain":
-            from ..models.dain import model as dain_model
-            inner_mask = dain_model.inner_mask(net_params)
+        if self.model_def.inner_mask_fn is not None:
+            inner_mask = self.model_def.inner_mask_fn(net_params)
         self.inner_mask = inner_mask
 
-        self.loss_fn = losses_lib.make_loss_fn(cfg.loss, rng=r_loss)
+        if cfg.model == "dain":
+            # DAIN trains on its internal charbonnier regardless of --loss
+            # (reference net_forward dain branch, meta_learning_system.py:503-505)
+            from ..models.dain.model import charbonnier_loss
+
+            def dain_loss(pred, target, aux=None, **_kw):
+                val = charbonnier_loss(pred, target)
+                return {"DAIN": val, "total": val}
+
+            self.loss_fn = dain_loss
+        else:
+            self.loss_fn = losses_lib.make_loss_fn(cfg.loss, rng=r_loss)
         self.builder = episode_lib.EpisodeBuilder(
             apply_fn=self._apply_fn(), loss_fn=self.loss_fn,
             inner_opt=self.inner_opt,
@@ -138,9 +149,12 @@ class SceneAdaptiveInterpolation:
     def _build_trainable_mask(self) -> PyTree:
         """Outer-loop trainability: net always (minus DAIN frozen parts),
         LRs only when learnable (reference requires_grad semantics)."""
+        outer_mask = None
+        if self.model_def.outer_mask_fn is not None:
+            outer_mask = self.model_def.outer_mask_fn(self.meta_params["net"])
         mask = {
-            "net": (jax.tree.map(lambda m: bool(m), self.inner_mask)
-                    if self.inner_mask is not None
+            "net": (jax.tree.map(lambda m: bool(m), outer_mask)
+                    if outer_mask is not None
                     else jax.tree.map(lambda _: True, self.meta_params["net"])),
             "lrs": jax.tree.map(lambda _: self.inner_opt.learnable,
                                 self.meta_params["lrs"]),

@@ -84,16 +84,19 @@ def conv2d_transpose(p: Params, x: jnp.ndarray, stride: int = 2,
                      padding: int = 1) -> jnp.ndarray:
     """Transposed conv matching torch ConvTranspose2d(k, stride, padding).
 
-    Kernel stored HWIO with I=in_ch of the *forward* direction (torch layout
-    converted); implemented via lhs-dilated conv.
+    Kernel stored HWIO: (kh, kw, in_ch, out_ch) with in_ch = x's channels
+    (torch ConvTranspose2d weight (in, out, kh, kw) transposed (2,3,0,1)).
+    Implemented as an lhs-dilated conv with a spatially flipped kernel.
     """
     kernel = p["kernel"].astype(x.dtype)
     kh, kw = kernel.shape[0], kernel.shape[1]
+    # out = (in−1)·s + k − 2p  (torch, output_padding=0) ⇒ symmetric
+    # (k−1−p) padding around the s-dilated input
     pad_h = kh - 1 - padding
     pad_w = kw - 1 - padding
     out = jax.lax.conv_general_dilated(
-        x, jnp.flip(kernel, (0, 1)).swapaxes(2, 3),
-        (1, 1), ((pad_h, pad_h + stride - 1), (pad_w, pad_w + stride - 1)),
+        x, jnp.flip(kernel, (0, 1)),
+        (1, 1), ((pad_h, pad_h), (pad_w, pad_w)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )

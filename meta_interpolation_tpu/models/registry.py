@@ -32,6 +32,13 @@ class ModelDef:
     returns_aux: bool = False
     # eval-tiling threshold on H*W (experiment_builder.py:103-104); RRIN 3e5
     tile_pixel_limit: float = 5e5
+    # optional params→0/1-mask fn restricting inner-loop adaptation
+    # (sepconv subnets, DAIN rectify-net-only — SURVEY.md §2.1)
+    inner_mask_fn: Optional[Callable[[Any], Any]] = None
+    # optional params→bool-mask fn restricting *outer* trainability
+    # (DAIN freezes everything but rectifyNet outer-side too,
+    # meta_learning_system.py:96-101; sepconv subnets stay outer-trainable)
+    outer_mask_fn: Optional[Callable[[Any], Any]] = None
 
 
 _REGISTRY: Dict[str, ModelDef] = {}
@@ -89,7 +96,8 @@ def _load_all():
         from . import sepconv as _sepconv
         if "sepconv" not in _REGISTRY:
             register(ModelDef("sepconv", _sepconv.init, _sepconv.apply,
-                              _identity, _identity, pad_multiple=128))
+                              _identity, _identity, pad_multiple=128,
+                              inner_mask_fn=_sepconv.inner_mask))
     except ImportError:
         pass
     try:
@@ -112,13 +120,16 @@ def _load_all():
         from . import voxelflow as _vf
         if "voxelflow" not in _REGISTRY:
             register(ModelDef("voxelflow", _vf.init, _vf.apply,
-                              _vf_normalize, _vf_denormalize, pad_multiple=64))
+                              _vf_normalize, _vf_denormalize, pad_multiple=64,
+                              inner_mask_fn=_vf.inner_mask))
     except ImportError:
         pass
     try:
         from .dain import model as _dain
         if "dain" not in _REGISTRY:
             register(ModelDef("dain", _dain.init, _dain.apply,
-                              _identity, _identity, pad_multiple=128))
+                              _identity, _identity, pad_multiple=64,
+                              inner_mask_fn=_dain.inner_mask,
+                              outer_mask_fn=_dain.outer_mask))
     except ImportError:
         pass

@@ -122,17 +122,23 @@ def backward_warp_rrin(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
 def voxelflow_sample(frame0: jnp.ndarray, frame1: jnp.ndarray,
                      flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """DVF trilinear sampling (voxel_flow.py:471-507): sample frame0 at
-    +flow and frame1 at −flow (align_corners=True, border padding), blend
-    with the soft occlusion mask.
+    """DVF trilinear sampling (voxel_flow.py:471-507).
 
-    flow: (N,H,W,2) in *normalized* units as emitted by the tanh head
-    (the reference multiplies by the grid range); here flow is already in
-    pixel units. mask: (N,H,W,1) in [-1,1] → blended as (1+mask)/2.
+    ``flow``: (N,H,W,2) in *normalized* grid units (the tanh head output
+    already scaled by 0.5 upstream); grid is linspace(-1,1) per axis
+    (voxel_flow.py:9-17, align_corners=True convention). frame0 is sampled
+    at grid − flow, frame1 at grid + flow, border padding; blended with
+    mask via (1+mask)/2.
     """
-    w0 = backward_warp(frame0, flow, align_corners=True,
+    n, h, w, _ = frame0.shape
+    gx = jnp.linspace(-1.0, 1.0, w)[None, None, :]
+    gy = jnp.linspace(-1.0, 1.0, h)[None, :, None]
+    u, v = flow[..., 0], flow[..., 1]
+    grid1 = jnp.stack([gx - u, gy - v], axis=-1)
+    grid2 = jnp.stack([gx + u, gy + v], axis=-1)
+    out1 = grid_sample(frame0, grid1, align_corners=True,
                        padding_mode="border")
-    w1 = backward_warp(frame1, -flow, align_corners=True,
+    out2 = grid_sample(frame1, grid2, align_corners=True,
                        padding_mode="border")
-    m = (1.0 + mask) / 2.0
-    return m * w0 + (1.0 - m) * w1
+    m = 0.5 * (1.0 + mask)
+    return m * out1 + (1.0 - m) * out2

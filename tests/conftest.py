@@ -1,6 +1,10 @@
 """Test harness: force CPU with 8 virtual devices so sharding tests run
 anywhere (the standard JAX pattern for testing pjit/shard_map without a TPU
-pod — SURVEY.md §4)."""
+pod — SURVEY.md §4).
+
+Note: on the axon box the JAX_PLATFORMS env var alone is overridden by the
+TPU plugin; the jax.config.update after import is what actually pins CPU.
+"""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -11,4 +15,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

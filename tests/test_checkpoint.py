@@ -1,0 +1,78 @@
+"""Checkpoint store + torch .pth import tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from meta_interpolation_tpu.core import checkpoint as ckpt
+
+
+def test_save_load_roundtrip(tmp_path):
+    state = {"epoch": 3, "best_PSNR": 31.5,
+             "system": {"meta_params": {"net": {"w": jnp.ones((2, 3))}},
+                        "epoch": 3}}
+    ckpt.save_checkpoint(state, str(tmp_path), is_best=True)
+    assert os.path.exists(tmp_path / "checkpoint.pkl")
+    assert os.path.exists(tmp_path / "model_best.pkl")
+    loaded = ckpt.load_checkpoint(str(tmp_path))
+    assert loaded["epoch"] == 3
+    np.testing.assert_allclose(loaded["system"]["meta_params"]["net"]["w"],
+                               np.ones((2, 3)))
+
+
+def test_torch_state_dict_conversion_conv_and_linear():
+    sd = {
+        "encoder.interpolate.headConv.weight": np.arange(
+            2 * 3 * 3 * 3, dtype=np.float32).reshape(2, 3, 3, 3),  # OIHW
+        "encoder.interpolate.headConv.bias": np.zeros(2, np.float32),
+        "fc.weight": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "fc.bias": np.ones(2, np.float32),
+        "bn.weight": np.ones(4, np.float32),
+        "bn.bias": np.zeros(4, np.float32),
+        "bn.running_mean": np.zeros(4, np.float32),
+        "bn.running_var": np.ones(4, np.float32),
+        "bn.num_batches_tracked": np.asarray(7),
+    }
+    tree = ckpt.torch_state_dict_to_pytree(sd)
+    conv = tree["encoder"]["interpolate"]["headConv"]
+    assert conv["kernel"].shape == (3, 3, 3, 2)  # HWIO
+    # OIHW→HWIO: kernel[h,w,i,o] == sd[o,i,h,w]
+    np.testing.assert_allclose(np.asarray(conv["kernel"])[1, 2, 0, 1],
+                               sd["encoder.interpolate.headConv.weight"][1, 0, 1, 2])
+    assert tree["fc"]["kernel"].shape == (3, 2)
+    assert set(tree["bn"]) == {"scale", "bias", "mean", "var"}
+
+
+def test_lossy_merge_skips_mismatches():
+    target = {"a": jnp.zeros((2, 2)), "b": jnp.zeros((3,))}
+    loaded = {"a": jnp.ones((2, 2)), "b": jnp.ones((4,))}  # b mismatched
+    merged = ckpt.lossy_merge(target, loaded, verbose=False)
+    np.testing.assert_allclose(np.asarray(merged["a"]), 1.0)
+    np.testing.assert_allclose(np.asarray(merged["b"]), 0.0)
+
+
+def test_import_pth_from_real_torch_file(tmp_path):
+    """End-to-end .pth import: a torch Conv2d module's state_dict must land
+    in our tree and reproduce the same convolution output."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from meta_interpolation_tpu.models import layers
+
+    torch.manual_seed(0)
+    mod = nn.Conv2d(3, 5, 3, padding=1)
+    path = str(tmp_path / "weights.pth")
+    torch.save({"state_dict": {"conv." + k: v for k, v in
+                               mod.state_dict().items()}}, path)
+
+    target = {"conv": layers.conv_init(jax.random.PRNGKey(0), 3, 5, 3)}
+    merged = ckpt.import_pth(path, target)
+
+    x = np.random.RandomState(0).rand(1, 8, 8, 3).astype(np.float32)
+    ours = layers.conv2d(merged["conv"], jnp.asarray(x), padding=1)
+    with torch.no_grad():
+        theirs = mod(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours),
+                               theirs.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)

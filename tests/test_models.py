@@ -1,0 +1,111 @@
+"""Model zoo forward/grad smoke tests + registry coverage.
+
+Shapes chosen so each model pads minimally (UNet depths need /16-/64
+divisibility) while staying CPU-affordable.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meta_interpolation_tpu.models import registry
+
+
+def _frames(h, w, seed=0, batch=1):
+    rs = np.random.RandomState(seed)
+    return (jnp.asarray(rs.rand(batch, h, w, 3).astype(np.float32)),
+            jnp.asarray(rs.rand(batch, h, w, 3).astype(np.float32)))
+
+
+def test_registry_has_all_backbones():
+    names = registry.available()
+    for required in ("cain", "rrin", "sepconv", "superslomo", "voxelflow"):
+        assert required in names, f"{required} missing from registry"
+
+
+def test_rrin_forward_and_grad():
+    from meta_interpolation_tpu.models import rrin
+    p = rrin.init(jax.random.PRNGKey(0))
+    f0, f1 = _frames(64, 64)
+    out = rrin.apply(p, f0, f1)
+    assert out.shape == (1, 64, 64, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0  # clamp
+
+    g = jax.grad(lambda p: jnp.mean(jnp.abs(rrin.apply(p, f0, f1) - f0)))(p)
+    assert all(np.isfinite(float(jnp.sum(jnp.abs(x))))
+               for x in jax.tree.leaves(g))
+
+
+def test_superslomo_forward_returns_aux():
+    from meta_interpolation_tpu.models import superslomo
+    p = superslomo.init(jax.random.PRNGKey(0))
+    f0, f1 = _frames(64, 64, seed=1)
+    pred, aux = superslomo.apply(p, f0, f1)
+    assert pred.shape == (1, 64, 64, 3)
+    for key in ("bidirectional_flow", "warped_intermediate_frames",
+                "warped_input_frames"):
+        assert key in aux
+    F01, F10 = aux["bidirectional_flow"]
+    assert F01.shape == (1, 64, 64, 2)
+
+
+def test_superslomo_super_loss_integrates():
+    from meta_interpolation_tpu.models import superslomo
+    from meta_interpolation_tpu.core.losses import make_loss_fn
+    p = superslomo.init(jax.random.PRNGKey(0))
+    f0, f1 = _frames(64, 64, seed=2)
+    target = (f0 + f1) / 2
+    loss_fn = make_loss_fn("1*Super", rng=jax.random.PRNGKey(1))
+
+    def loss(p):
+        pred, aux = superslomo.apply(p, f0, f1)
+        aux = dict(aux)
+        aux["I0"], aux["I1"] = f0, f1
+        return loss_fn(pred, target, aux)["total"]
+
+    val, g = jax.value_and_grad(loss)(p)
+    assert np.isfinite(float(val))
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert total > 0
+
+
+def test_voxelflow_forward_and_bn_freeze():
+    from meta_interpolation_tpu.models import voxelflow
+    p = voxelflow.init(jax.random.PRNGKey(0))
+    f0, f1 = _frames(64, 64, seed=3)
+    out = voxelflow.apply(p, f0, f1)
+    assert out.shape == (1, 64, 64, 3)
+    mask = voxelflow.inner_mask(p)
+    # all *_bn leaves masked out
+    assert float(jax.tree.leaves(mask["conv1_bn"])[0]) == 0.0
+    assert float(jax.tree.leaves(mask["conv1"])[0]) == 1.0
+
+
+def test_voxelflow_zero_flow_is_blend():
+    """With all-zero weights the tanh head gives flow=0, mask=0 →
+    output = (frame0 + frame1)/2 (the trilinear blend identity)."""
+    from meta_interpolation_tpu.models import voxelflow
+    p = voxelflow.init(jax.random.PRNGKey(0))
+    p = jax.tree.map(jnp.zeros_like, p)
+    p = {**p}
+    for k in p:
+        if k.endswith("_bn"):
+            p[k] = {"scale": jnp.ones_like(p[k]["scale"]),
+                    "bias": jnp.zeros_like(p[k]["bias"]),
+                    "mean": jnp.zeros_like(p[k]["mean"]),
+                    "var": jnp.ones_like(p[k]["var"])}
+    f0, f1 = _frames(64, 64, seed=4)
+    out = voxelflow.apply(p, f0, f1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray((f0 + f1) / 2),
+                               atol=1e-5)
+
+
+def test_sepconv_forward_tiny():
+    from meta_interpolation_tpu.models import sepconv as sepconv_model
+    p = sepconv_model.init(jax.random.PRNGKey(0))
+    f0, f1 = _frames(78, 78, seed=5)  # pads to 128x128
+    out = sepconv_model.apply(p, f0, f1, use_pallas=False)
+    assert out.shape == (1, 78, 78, 3)
+    mask = sepconv_model.inner_mask(p)
+    assert float(jax.tree.leaves(mask["moduleVertical1"])[0]) == 0.0
+    assert float(jax.tree.leaves(mask["moduleConv1"])[0]) == 1.0
