@@ -75,11 +75,14 @@ class VimeoSeptuplet(_Base):
         self.data_length = {"train": len(self.trainlist),
                             "val": len(self.testlist), "test": 0}
 
-    def __getitem__(self, index):
+    def _paths(self, index):
         lst = self.trainlist if self.current_set_name == "train" else self.testlist
         seq = lst[index % len(lst)]
-        paths = [os.path.join(self.image_root, seq, f"im{i}.png")
-                 for i in range(1, 8)]
+        return [os.path.join(self.image_root, seq, f"im{i}.png")
+                for i in range(1, 8)]
+
+    def __getitem__(self, index):
+        paths = self._paths(index)
         images = [load_image(p) for p in paths]
         if self.current_set_name == "train":
             h, w, _ = images[0].shape
@@ -92,6 +95,35 @@ class VimeoSeptuplet(_Base):
                 paths = paths[::-1]
         frames = np.stack([normalize_for_model(im, self.model) for im in images])
         return frames, {"imgpaths": paths}
+
+    # -- native fast path (data/native): decode to uint8 + C++ transform ---
+    def get_raw(self, index):
+        """(T, H, W, 3) uint8 frames + metadata, untransformed."""
+        paths = self._paths(index)
+        frames = []
+        for p in paths:
+            with Image.open(p) as im:
+                frames.append(np.asarray(im.convert("RGB"), np.uint8))
+        return np.stack(frames), {"imgpaths": paths}
+
+    def aug_params(self, h: int, w: int):
+        """Per-clip crop offsets + temporal flip, same RNG stream as the
+        python path."""
+        if self.current_set_name != "train":
+            return 0, 0, 0, h, w
+        rh = self.rng.randint(0, max(0, h - self.crop_size))
+        rw = self.rng.randint(0, max(0, w - self.crop_size))
+        flip = int(self.rng.random() >= 0.5)
+        return rh, rw, flip, self.crop_size, self.crop_size
+
+    def norm_constants(self):
+        """(mean, std, inv255) for the C++ normalize."""
+        if self.model == "superslomo":
+            return SSM_MEAN, np.ones(3, np.float32), 1.0 / 255.0
+        if self.model == "voxelflow":
+            return (np.full(3, 127.5, np.float32),
+                    np.full(3, 127.5, np.float32), 1.0)
+        return (np.zeros(3, np.float32), np.ones(3, np.float32), 1.0 / 255.0)
 
 
 class Middlebury(_Base):

@@ -47,6 +47,41 @@ class TaskLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _native_batch(self, pool, batch_idx):
+        """Fast path: PIL decode to uint8 in threads, then one C++ call for
+        crop/flip/normalize/batch (data/native/prep.cpp). Falls back to the
+        python path when unsupported."""
+        from . import native
+        ds = self.dataset
+        if (native.load() is None or not hasattr(ds, "get_raw")):
+            return None
+        items = list(pool.map(ds.get_raw, batch_idx))
+        raw = [it[0] for it in items]
+        meta = [it[1] for it in items]
+        h, w = raw[0].shape[1], raw[0].shape[2]
+        if any(r.shape != raw[0].shape for r in raw):
+            return None
+        oys, oxs, flips = [], [], []
+        crop_h = crop_w = None
+        for _ in raw:
+            oy, ox, flip, ch, cw = ds.aug_params(h, w)
+            oys.append(oy)
+            oxs.append(ox)
+            flips.append(flip)
+            crop_h, crop_w = ch, cw
+        mean, std, inv255 = ds.norm_constants()
+        # temporal flip must flip paths too (reference vimeo_septuplet.py:64-67)
+        for i, f in enumerate(flips):
+            if f:
+                meta[i] = {"imgpaths": list(meta[i]["imgpaths"])[::-1]}
+        frames = native.prep_batch(np.stack(raw), crop_h, crop_w,
+                                   np.asarray(oys), np.asarray(oxs),
+                                   np.asarray(flips), mean, std, inv255,
+                                   num_threads=self.num_workers)
+        if frames is None:
+            return None
+        return frames, meta
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, list]]:
         indices = self._indices()
         batches = [indices[i:i + self.batch_size]
@@ -58,16 +93,21 @@ class TaskLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        use_native = hasattr(self.dataset, "get_raw")
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for batch_idx in batches:
                     if stop.is_set():
                         break
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    frames = np.stack([it[0] for it in items])
-                    meta = [it[1] for it in items]
-                    q.put((frames, meta))
+                    item = (self._native_batch(pool, batch_idx)
+                            if use_native else None)
+                    if item is None:
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              batch_idx))
+                        item = (np.stack([it[0] for it in items]),
+                                [it[1] for it in items])
+                    q.put(item)
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
