@@ -18,9 +18,9 @@ Datasets (reference files):
     scenes so tests/benchmarks run without the Vimeo download.
 """
 from .datasets import (VimeoSeptuplet, Middlebury, HDDataset, SNUFILM,
-                       VideoDataset, SyntheticSeptuplet, get_dataset)
+                       VideoDataset, DAVIS, SyntheticSeptuplet, get_dataset)
 from .loader import TaskLoader, MetaLearningSystemDataLoader
 
 __all__ = ["VimeoSeptuplet", "Middlebury", "HDDataset", "SNUFILM",
-           "VideoDataset", "SyntheticSeptuplet", "get_dataset",
+           "VideoDataset", "DAVIS", "SyntheticSeptuplet", "get_dataset",
            "TaskLoader", "MetaLearningSystemDataLoader"]

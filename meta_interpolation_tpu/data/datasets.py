@@ -248,6 +248,38 @@ class VideoDataset(_Base):
         return frames, {"imgpaths": paths}
 
 
+class DAVIS(_Base):
+    """DAVIS video sequences as sliding septuplet windows.
+
+    The reference *dispatches* to ``data.davis`` which does not exist
+    (data/__init__.py:544-546 — a latent ImportError, SURVEY.md §7 quirk).
+    Implemented here for real: each sequence directory of frames yields
+    sliding 7-frame windows, stride 2 (the HD protocol).
+    """
+
+    def __init__(self, data_root: str, model: str = "cain", **_kw):
+        self.model = model
+        self.clips: List[List[str]] = []
+        seq_root = os.path.join(data_root, "JPEGImages", "480p")
+        if not os.path.isdir(seq_root):
+            seq_root = data_root
+        for d in sorted(glob.glob(os.path.join(seq_root, "*"))):
+            if not os.path.isdir(d):
+                continue
+            imgs = sorted(glob.glob(os.path.join(d, "*.jpg"))
+                          or glob.glob(os.path.join(d, "*.png")))
+            for s in range(0, len(imgs) - 6, 2):
+                self.clips.append(imgs[s:s + 7])
+        self.current_set_name = "val"
+        self.data_length = {"train": 0, "val": len(self.clips), "test": 0}
+
+    def __getitem__(self, index):
+        paths = self.clips[index]
+        frames = np.stack([normalize_for_model(load_image(p), self.model)
+                           for p in paths])
+        return frames, {"imgpaths": paths}
+
+
 class SyntheticSeptuplet(_Base):
     """Procedural septuplets (no reference equivalent) — deterministic moving
     scenes with linear motion, so frame 4 is exactly the midpoint of 3 and 5.
@@ -317,6 +349,8 @@ def get_dataset(name: str, data_root: str, model: str, mode: str,
                               crop_size=crop_size)
     if name == "middlebury":
         return Middlebury(data_root, model=model)
+    if name == "davis":
+        return DAVIS(data_root, model=model)
     if name == "hd":
         return HDDataset(data_root, model=model)
     if name == "snufilm":

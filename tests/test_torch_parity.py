@@ -40,29 +40,31 @@ def test_cain_matches_reference_torch():
     MetaCAIN = _import_ref("cain.model", "MetaCAIN")
     torch.manual_seed(0)
     # tiny depth keeps CPU runtime sane; architecture logic is identical
-    net = MetaCAIN(depth=1, resume=False)
+    net = MetaCAIN(depth=2, resume=False)
     net.eval()
     # shrink to 1 group x 1 block for speed: rebuild encoder.interpolate
     sys.path.insert(0, REF)
     from model_utils import MetaInterpolation
     import torch.nn as nn
-    net.encoder.interpolate = MetaInterpolation(1, 1, 3 * 4,
-                                                act=nn.LeakyReLU(0.2, False))
+    net.encoder.interpolate = MetaInterpolation(
+        1, 1, 3 * 16, act=nn.LeakyReLU(0.2, False))  # 48ch: CA 48//16=3 valid
 
+    # 128×128 input: smaller sizes make the reference's pad-to-×128
+    # reflection exceed the input dim (torch restriction)
     rs = np.random.RandomState(0)
-    x = rs.rand(1, 3, 32, 32).astype(np.float32)
-    y = rs.rand(1, 3, 32, 32).astype(np.float32)
+    x = rs.rand(1, 3, 128, 128).astype(np.float32)
+    y = rs.rand(1, 3, 128, 128).astype(np.float32)
     with torch.no_grad():
         expected = _to_nhwc(net(torch.from_numpy(x), torch.from_numpy(y)))
 
     sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
-    target = cain.init(jax.random.PRNGKey(0), depth=1, n_resgroups=1,
+    target = cain.init(jax.random.PRNGKey(0), depth=2, n_resgroups=1,
                        n_resblocks=1)
     merged = ckpt.lossy_merge(target, ckpt.torch_state_dict_to_pytree(sd),
                               verbose=True)
     got = cain.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)),
                      jnp.asarray(y.transpose(0, 2, 3, 1)),
-                     depth=1, n_resgroups=1, n_resblocks=1)
+                     depth=2, n_resgroups=1, n_resblocks=1)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3,
                                atol=1e-4)
 
@@ -97,7 +99,10 @@ def test_superslomo_unet_matches_reference_torch():
     from meta_interpolation_tpu.core import checkpoint as ckpt
     from meta_interpolation_tpu.models import superslomo as ssm
 
-    MetaUNet = _import_ref("superslomo.model", "MetaUNet")
+    try:
+        MetaUNet = _import_ref("superslomo.model", "MetaUNet")
+    except (ImportError, ModuleNotFoundError):
+        pytest.skip("reference superslomo imports torchvision (unavailable)")
     torch.manual_seed(2)
     net = MetaUNet(6, 4)
     net.eval()
