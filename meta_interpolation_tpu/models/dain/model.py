@@ -106,8 +106,12 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
                             jax.lax.stop_gradient(ld2)], axis=-1)
     filt0, filt2 = mononet.apply(params, jnp.concatenate([x0, x2], axis=-1))
 
-    depth_inv0 = 1e-6 + 1.0 / jnp.exp(ld0)
-    depth_inv2 = 1e-6 + 1.0 / jnp.exp(ld2)
+    # inverse depth 1e-6 + 1/exp(log_depth) (:572). The clamp guards exp
+    # overflow with untrained weights (NaN in projection otherwise);
+    # pretrained log-depth magnitudes are ≪ the 1e8 ceiling, so released
+    # weights are unaffected.
+    depth_inv0 = jnp.clip(1e-6 + jnp.exp(-ld0), 0.0, 1e8)
+    depth_inv2 = jnp.clip(1e-6 + jnp.exp(-ld2), 0.0, 1e8)
 
     # bidirectional flow (stream s2)
     flow_02 = _flow_branch(params, x0, x2, TIMESTEP)

@@ -11,11 +11,13 @@ comparable with the reference.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = Dict[str, Any]
 
@@ -161,27 +163,41 @@ def upsample_bilinear(x: jnp.ndarray, scale: int = 2,
     return resize_bilinear(x, (out_h, out_w), align_corners)
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(in_size: int, out_size: int, align_corners: bool
+                   ) -> np.ndarray:
+    """1-D linear interpolation as an (out, in) dense matrix.
+
+    TPU note: gather-based resize lowers to slow generic gathers; a dense
+    interpolation matrix turns the resize into two small matmuls that ride
+    the MXU (the matrix is tiny: out×in for one axis). Weights match torch
+    F.interpolate(mode='bilinear') for both align_corners settings.
+    """
+    m = np.zeros((out_size, in_size), np.float32)
+    if align_corners and out_size > 1:
+        pos = np.linspace(0.0, in_size - 1.0, out_size)
+    else:
+        pos = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    pos = np.clip(pos, 0, in_size - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = pos - lo
+    m[np.arange(out_size), lo] += 1.0 - frac
+    m[np.arange(out_size), hi] += frac
+    return m
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
                     align_corners: bool = False) -> jnp.ndarray:
     n, h, w, c = x.shape
     out_h, out_w = out_hw
-    if align_corners:
-        ys = jnp.linspace(0.0, h - 1.0, out_h)
-        xs = jnp.linspace(0.0, w - 1.0, out_w)
-    else:
-        ys = (jnp.arange(out_h) + 0.5) * (h / out_h) - 0.5
-        xs = (jnp.arange(out_w) + 0.5) * (w / out_w) - 0.5
-    ys = jnp.clip(ys, 0, h - 1)
-    xs = jnp.clip(xs, 0, w - 1)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
-    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    wh = jnp.asarray(_resize_matrix(h, out_h, align_corners), x.dtype)
+    ww = jnp.asarray(_resize_matrix(w, out_w, align_corners), x.dtype)
+    out = jnp.einsum("oh,nhwc->nowc", wh, x,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,nowc->nopc", ww, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def pixel_shuffle(x: jnp.ndarray, scale: float) -> jnp.ndarray:

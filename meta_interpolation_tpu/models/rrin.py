@@ -31,7 +31,7 @@ def init(rng: jax.Array, **_kw) -> Params:
     }
 
 
-def _process(params: Params, x0, x1, t: float):
+def _process(params: Params, x0, x1, t: float, warp_range=None):
     x = jnp.concatenate([x0, x1], axis=-1)
     flow = unet.apply(params["Flow_L"], x, depth=5)
     f01, f10 = flow[..., :2], flow[..., 2:4]
@@ -41,8 +41,8 @@ def _process(params: Params, x0, x1, t: float):
                          jnp.concatenate([ft0, ft1, x], axis=-1), depth=4)
     ft0 = ft0 + refined[..., :2]
     ft1 = ft1 + refined[..., 2:4]
-    xt1 = warp_ops.backward_warp_rrin(x0, ft0)
-    xt2 = warp_ops.backward_warp_rrin(x1, ft1)
+    xt1 = warp_ops.backward_warp_rrin(x0, ft0, warp_range=warp_range)
+    xt2 = warp_ops.backward_warp_rrin(x1, ft1, warp_range=warp_range)
     mask_in = jnp.concatenate([ft0, ft1, x, xt1, xt2], axis=-1)
     mask = jax.nn.sigmoid(unet.apply(params["Mask"], mask_in, depth=4))
     w1 = (1 - t) * mask[..., 0:1]
@@ -51,10 +51,12 @@ def _process(params: Params, x0, x1, t: float):
 
 
 def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
-          t: float = 0.5, **_kw) -> jnp.ndarray:
+          t: float = 0.5, warp_range=None, **_kw) -> jnp.ndarray:
+    """``warp_range``: optional pixel bound enabling the TPU fast warp
+    (ops/warp.grid_sample_bounded); None = exact gather."""
     x0, pads = layers.pad_to_multiple(frame0, 128)
     x1, _ = layers.pad_to_multiple(frame1, 128)
-    output = _process(params, x0, x1, t)
+    output = _process(params, x0, x1, t, warp_range)
     compose = jnp.concatenate([x0, x1, output], axis=-1)
     final = unet.apply(params["final"], compose, depth=4) + output
     final = jnp.clip(final, 0.0, 1.0)

@@ -103,7 +103,7 @@ def _unet(p: Params, x):
 
 
 def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
-          ind: int = 3, **_kw) -> Tuple[jnp.ndarray, Dict]:
+          ind: int = 3, warp_range=None, **_kw) -> Tuple[jnp.ndarray, Dict]:
     t = float(T_VALUES[ind])
     I0, pads = layers.pad_to_multiple(frame0, 64)
     I1, _ = layers.pad_to_multiple(frame1, 64)
@@ -119,7 +119,8 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     F_t0 = c00 * F01 + c01 * F10
     F_t1 = c10 * F01 + c11 * F10
 
-    bw = warp_ops.backward_warp_rrin  # same grid convention (:294-302)
+    def bw(im, fl):  # same grid convention as RRIN (:294-302)
+        return warp_ops.backward_warp_rrin(im, fl, warp_range=warp_range)
     g_I0_t0 = bw(I0, F_t0)
     g_I1_t1 = bw(I1, F_t1)
 

@@ -76,7 +76,7 @@ def _cbr(p_conv, p_bn, x, k):
 
 
 def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
-          syn_type: str = "inter", **_kw) -> jnp.ndarray:
+          syn_type: str = "inter", warp_range=None, **_kw) -> jnp.ndarray:
     from ..ops import warp as warp_ops
 
     x = jnp.concatenate([frame0, frame1], axis=-1)
@@ -121,5 +121,5 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
         out = m * out1 + (1.0 - m) * out2
     else:
         out = warp_ops.voxelflow_sample(inp[..., 0:3], inp[..., 3:6],
-                                        flow, mask)
+                                        flow, mask, warp_range=warp_range)
     return layers.unpad(out, pads)

@@ -69,6 +69,43 @@ def flow_projection(flow: jnp.ndarray,
     return out
 
 
+def min_depth_flow_projection(flow: jnp.ndarray, depth_inv: jnp.ndarray,
+                              fill_hole: bool = False) -> jnp.ndarray:
+    """Z-buffer flow projection variant (``mindepthflowprojection_cuda_
+    kernel.cu:29-115``): each target cell keeps the −flow of the source with
+    the *largest* inverse-depth weight (nearest surface wins) instead of
+    averaging. The reference writes only the top-left neighbor (the other
+    three are commented out, :93-108) — preserved.
+
+    The CUDA version's non-atomic read-modify-write races on ties; here the
+    winner is the max-weight source per cell (ties share the average of the
+    tied flows) — deterministic, same intent.
+    """
+    n, h, w, _ = flow.shape
+    fx, fy = flow[..., 0], flow[..., 1]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x2, y2 = xs + fx, ys + fy
+    valid = ((x2 >= 0) & (y2 >= 0) & (x2 <= w - 1) & (y2 <= h - 1))
+    ix = jnp.clip(jnp.floor(x2).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.floor(y2).astype(jnp.int32), 0, h - 1)
+    wv = jnp.where(valid, depth_inv[..., 0], 0.0)
+
+    b_idx = jnp.arange(n)[:, None, None] * jnp.ones((1, h, w), jnp.int32)
+    cell_max = jnp.zeros((n, h, w), flow.dtype).at[b_idx, iy, ix].max(wv)
+    winner = valid & (wv >= cell_max[b_idx, iy, ix]) & (wv > 0)
+
+    contrib = jnp.stack([-fx, -fy], axis=-1) * winner[..., None]
+    acc = jnp.zeros((n, h, w, 2), flow.dtype).at[b_idx, iy, ix].add(contrib)
+    n_win = jnp.zeros((n, h, w), flow.dtype).at[b_idx, iy, ix].add(
+        winner.astype(flow.dtype))
+    out = jnp.where(n_win[..., None] > 0, acc / jnp.maximum(
+        n_win[..., None], 1.0), 0.0)
+    if fill_hole:
+        out = _fill_holes(out, n_win)
+    return out
+
+
 def _nearest_valid_idx(valid: jnp.ndarray, axis: int, reverse: bool):
     """Index of the nearest valid element at-or-before each position along
     ``axis`` (cummax of masked indices); -1 where none."""

@@ -11,17 +11,20 @@ forward + three backward CUDA kernels (gradInput :32-63, gradVertical
 
   * :func:`sepconv_ref` — pure-jnp shift-and-accumulate reference
     (correct everywhere, used for tests and as the CPU path);
-  * :func:`sepconv` — Pallas TPU kernel with a custom VJP. The kernel keeps
-    the input tile (+F−1 halo) and both kernel maps resident in VMEM and
-    runs the F² multiply-accumulate entirely on-chip, so HBM traffic is
-    O(HWC) instead of the O(F²·HWC) a naive XLA lowering would generate.
+  * :func:`sepconv` — Pallas TPU kernels with a custom VJP.
 
-The op is inherently VPU-bound (per-pixel kernels defeat the MXU's shared-
-weight model): F²+F ≈ 2652 MACs/pixel/channel.
+TPU kernel design: blocks are C-leading (N, C, H, W) with **full-width**
+rows so every BlockSpec satisfies the Mosaic (8, 128) tiling rule:
+W is a multiple of 128 (the model pads to ×128), row tiles are 8-aligned,
+and the overlapping input halo uses ``pl.Element`` row indexing with a
+56-row halo (≥ F−1 = 50, rounded up to ×8). The input tile and both
+kernel-map tiles stay resident in VMEM across the full F² multiply-
+accumulate, so HBM traffic is O(HWC) instead of the O(F²·HWC) a naive
+lowering would generate. The op is inherently VPU-bound (per-pixel kernels
+defeat the MXU's shared-weight model): F²+F ≈ 2652 MACs/pixel/channel.
 
-Layout: NHWC activations; kernel maps are (N, H, W, F) channel-last (the
-reference uses (N, F, H, W); the torch→pytree converter and the model emit
-channel-last directly).
+Public layout: NHWC activations, (N, H, W, F) kernel maps (channel-last;
+the reference uses (N, F, H, W)); layout conversion happens inside.
 """
 from __future__ import annotations
 
@@ -32,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 F_TAPS = 51  # default filter size (reference uses 51 everywhere)
+_HALO = 56   # F-1=50 rounded up to a multiple of 8
 
 
 # ---------------------------------------------------------------------------
@@ -65,148 +69,178 @@ def sepconv_ref(inp: jnp.ndarray, kv: jnp.ndarray, kh: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
-# Pallas TPU kernels
+# Pallas TPU kernels (C-leading, full-width blocks)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(inp_ref, kv_ref, kh_ref, out_ref, *, f: int, ht: int, wt: int):
-    """One (batch, h-tile, w-tile) program.
+def _fwd_kernel(inp_ref, kv_ref, kh_ref, out_ref, *, f, ht, w, wpad):
+    """One (batch, row-tile) program.
 
-    Block shapes (leading batch block of 1 squeezed by indexing):
-      inp_ref: (1, ht+f-1, wt+f-1, C) — input tile with halo
-      kv_ref/kh_ref: (1, ht, wt, f)
-      out_ref: (1, ht, wt, C)
-    """
-    import jax.lax as lax
-
-    inp = inp_ref[0]          # (ht+f-1, wt+f-1, C)
-    kv = kv_ref[0]            # (ht, wt, f)
-    kh = kh_ref[0]
-    c = inp.shape[-1]
-
-    def body_k(k, acc):
-        rows = lax.dynamic_slice(inp, (k, 0, 0), (ht, wt + f - 1, c))
-
-        def body_l(l, acc_h):
-            win = lax.dynamic_slice(rows, (0, l, 0), (ht, wt, c))
-            return acc_h + win * kh[:, :, l][..., None]
-
-        acc_h = lax.fori_loop(0, f, body_l, jnp.zeros((ht, wt, c), inp.dtype))
-        return acc + acc_h * kv[:, :, k][..., None]
-
-    out_ref[0] = lax.fori_loop(0, f, body_k,
-                               jnp.zeros((ht, wt, c), inp.dtype))
-
-
-def _pallas_forward(inp, kv, kh, f, ht, wt, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, hp, wp, c = inp.shape
-    h, w = hp - f + 1, wp - f + 1
-    assert h % ht == 0 and w % wt == 0, (h, w, ht, wt)
-    grid = (n, h // ht, w // wt)
-
-    kernel = functools.partial(_fwd_kernel, f=f, ht=ht, wt=wt)
-    # input tiles overlap by f-1 (halo) → Element (elementwise-offset)
-    # indexing on H/W; kernel-map and output tiles are plain Blocked.
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), inp.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, pl.Element(ht + f - 1), pl.Element(wt + f - 1), c),
-                         lambda b, i, j: (b, i * ht, j * wt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, wt, f),
-                         lambda b, i, j: (b, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, wt, f),
-                         lambda b, i, j: (b, i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ht, wt, c),
-                               lambda b, i, j: (b, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(inp, kv, kh)
-
-
-def _grad_kernels_kernel(inp_ref, g_ref, kv_ref, kh_ref, gkv_ref, gkh_ref,
-                         *, f: int, ht: int, wt: int):
-    """Fused gradVertical + gradHorizontal (reference :138-190).
-
-    gkv(y,x,k) = Σ_c g(y,x,c) · Σ_l in(y+k, x+l, c) · kh(y,x,l)
-    gkh(y,x,l) = Σ_c g(y,x,c) · Σ_k in(y+k, x+l, c) · kv(y,x,k)
+    inp_ref: (1, C, ht+HALO, w+wpad) — rows [i*ht, i*ht+ht+HALO)
+    kv_ref/kh_ref: (1, f, ht, w); out_ref: (1, C, ht, w)
     """
     import jax.lax as lax
 
     inp = inp_ref[0]
-    g = g_ref[0]              # (ht, wt, C)
     kv = kv_ref[0]
     kh = kh_ref[0]
-    c = inp.shape[-1]
+    c = inp.shape[0]
 
-    def body_k(k, carry):
-        gkv, gkh = carry
-        rows = lax.dynamic_slice(inp, (k, 0, 0), (ht, wt + f - 1, c))
+    def body_k(k, acc):
+        rows = lax.dynamic_slice(inp, (0, k, 0), (c, ht, w + wpad))
 
-        def body_l(l, inner):
-            gkv_k, gkh = inner
-            win = lax.dynamic_slice(rows, (0, l, 0), (ht, wt, c))
-            gw = jnp.sum(win * g, axis=-1)          # (ht, wt)
-            gkv_k = gkv_k + gw * kh[:, :, l]
-            gkh = gkh.at[:, :, l].add(gw * kv[:, :, k])
-            return gkv_k, gkh
+        def body_l(l, acc_h):
+            win = lax.dynamic_slice(rows, (0, 0, l), (c, ht, w))
+            return acc_h + win * kh[l][None]
 
-        gkv_k, gkh = lax.fori_loop(
-            0, f, body_l, (jnp.zeros((ht, wt), inp.dtype), gkh))
-        gkv = gkv.at[:, :, k].set(gkv_k)
-        return gkv, gkh
+        acc_h = lax.fori_loop(0, f, body_l, jnp.zeros((c, ht, w), inp.dtype))
+        return acc + acc_h * kv[k][None]
 
-    gkv, gkh = lax.fori_loop(
-        0, f, body_k,
-        (jnp.zeros((ht, wt, f), inp.dtype), jnp.zeros((ht, wt, f), inp.dtype)))
-    gkv_ref[0] = gkv
-    gkh_ref[0] = gkh
+    out_ref[0] = lax.fori_loop(0, f, body_k,
+                               jnp.zeros((c, ht, w), inp.dtype))
 
 
-def _pallas_grad_kernels(inp, g, kv, kh, f, ht, wt, interpret=False):
+def _row_tile(h: int, cap: int = 32) -> int:
+    """Largest 8-multiple ≤ cap dividing h (h is a multiple of 8 by
+    construction)."""
+    t = min(h, cap)
+    t -= t % 8
+    while t >= 8 and h % t:
+        t -= 8
+    return max(t, 8)
+
+
+def _to_cl(x):  # NHWC → NCHW
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _from_cl(x):  # NCHW → NHWC
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _pallas_forward(inp, kv, kh, f, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, hp, wp, c = inp.shape
     h, w = hp - f + 1, wp - f + 1
-    grid = (n, h // ht, w // wt)
-    kernel = functools.partial(_grad_kernels_kernel, f=f, ht=ht, wt=wt)
-    kspec = pl.BlockSpec((1, ht, wt, f), lambda b, i, j: (b, i, j, 0),
-                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    if not interpret:
+        assert w % 128 == 0 and h % 8 == 0, (
+            f"pallas sepconv needs W%128==0 and H%8==0, got {h}x{w}")
+    ht = _row_tile(h) if not interpret else (min(h, 8) if h % 8 == 0 else h)
+    wpad = 128 if not interpret else f - 1  # lane alignment (≥ f-1)
+
+    inp_cl = _to_cl(inp)  # (n, c, hp, wp)
+    inp_cl = jnp.pad(inp_cl, ((0, 0), (0, 0), (0, h + _HALO - hp),
+                              (0, w + wpad - wp)))
+    kv_cl = jnp.transpose(kv, (0, 3, 1, 2))  # (n, f, h, w)
+    kh_cl = jnp.transpose(kh, (0, 3, 1, 2))
+
+    grid = (n, h // ht)
+    kernel = functools.partial(_fwd_kernel, f=f, ht=ht, w=w, wpad=wpad)
+    out = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((n, h, w, f), inp.dtype),
-                   jax.ShapeDtypeStruct((n, h, w, f), inp.dtype)),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), inp.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, pl.Element(ht + f - 1), pl.Element(wt + f - 1), c),
-                         lambda b, i, j: (b, i * ht, j * wt, 0),
+            pl.BlockSpec((1, c, pl.Element(ht + _HALO), w + wpad),
+                         lambda b, i: (b, 0, i * ht, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, wt, c),
-                         lambda b, i, j: (b, i, j, 0),
+            pl.BlockSpec((1, f, ht, w), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f, ht, w), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, ht, w), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(inp_cl, kv_cl, kh_cl)
+    return _from_cl(out)
+
+
+def _grad_kernels_kernel(inp_ref, g_ref, kv_ref, kh_ref, gkv_ref, gkh_ref,
+                         *, f, ht, w, wpad):
+    """Fused gradVertical + gradHorizontal (reference :138-190).
+
+    gkv(k) = Σ_c g_c ⊙ (Σ_l win(k,l)_c ⊙ kh_l);  gkh(l) += Σ_c g_c ⊙ win ⊙ kv_k
+    """
+    import jax.lax as lax
+
+    inp = inp_ref[0]          # (C, ht+HALO, w+wpad)
+    g = g_ref[0]              # (C, ht, w)
+    kv = kv_ref[0]            # (f, ht, w)
+    kh = kh_ref[0]
+    c = inp.shape[0]
+
+    def body_k(k, carry):
+        gkv, gkh = carry
+        rows = lax.dynamic_slice(inp, (0, k, 0), (c, ht, w + wpad))
+
+        def body_l(l, inner):
+            gkv_k, gkh = inner
+            win = lax.dynamic_slice(rows, (0, 0, l), (c, ht, w))
+            gw = jnp.sum(win * g, axis=0)          # (ht, w)
+            gkv_k = gkv_k + gw * kh[l]
+            gkh = lax.dynamic_update_slice(
+                gkh, (lax.dynamic_slice(gkh, (l, 0, 0), (1, ht, w))[0]
+                      + gw * kv[k])[None], (l, 0, 0))
+            return gkv_k, gkh
+
+        gkv_k, gkh = lax.fori_loop(
+            0, f, body_l, (jnp.zeros((ht, w), inp.dtype), gkh))
+        gkv = lax.dynamic_update_slice(gkv, gkv_k[None], (k, 0, 0))
+        return gkv, gkh
+
+    gkv, gkh = lax.fori_loop(
+        0, f, body_k,
+        (jnp.zeros((f, ht, w), inp.dtype), jnp.zeros((f, ht, w), inp.dtype)))
+    gkv_ref[0] = gkv
+    gkh_ref[0] = gkh
+
+
+def _pallas_grad_kernels(inp, g, kv, kh, f, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp, wp, c = inp.shape
+    h, w = kv.shape[1], kv.shape[2]
+    ht = (_row_tile(h, cap=16) if not interpret
+          else (min(h, 8) if h % 8 == 0 else h))
+    wpad = 128 if not interpret else f - 1
+
+    inp_cl = jnp.pad(_to_cl(inp), ((0, 0), (0, 0), (0, h + _HALO - hp),
+                                   (0, w + wpad - wp)))
+    g_cl = _to_cl(g)
+    kv_cl = jnp.transpose(kv, (0, 3, 1, 2))
+    kh_cl = jnp.transpose(kh, (0, 3, 1, 2))
+
+    grid = (n, h // ht)
+    kernel = functools.partial(_grad_kernels_kernel, f=f, ht=ht, w=w,
+                               wpad=wpad)
+    kspec = pl.BlockSpec((1, f, ht, w), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    gkv, gkh = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, f, h, w), inp.dtype),
+                   jax.ShapeDtypeStruct((n, f, h, w), inp.dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, pl.Element(ht + _HALO), w + wpad),
+                         lambda b, i: (b, 0, i * ht, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, ht, w), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
             kspec, kspec,
         ],
         out_specs=(kspec, kspec),
         interpret=interpret,
-    )(inp, g, kv, kh)
+    )(inp_cl, g_cl, kv_cl, kh_cl)
+    return (jnp.transpose(gkv, (0, 2, 3, 1)),
+            jnp.transpose(gkh, (0, 2, 3, 1)))
 
 
 def _grad_input_ref(g, kv, kh, hp, wp):
-    """gradInput (reference :32-63) via the transpose relation:
-    gin(y', x') = Σ_{k,l} g(y'-k, x'-l) · kv(y'-k, x'-l, k) · kh(y'-k, x'-l, l).
-
-    Implemented as scatter-free gather over a zero-padded product tensor:
-    accumulated with dynamic_update_slice over shifted windows (XLA handles
-    the read-modify-write race-free; the reference needs atomicAdd here).
-    """
+    """Pure-jnp gradInput (used as the actual backward; see note in
+    _sepconv_bwd)."""
     n, h, w, c = g.shape
     f = kv.shape[-1]
 
@@ -223,82 +257,13 @@ def _grad_input_ref(g, kv, kh, hp, wp):
                              jnp.zeros((n, hp, wp, c), g.dtype))
 
 
-def _grad_input_kernel(g_ref, kv_ref, kh_ref, gin_ref, *, f, ht, wt):
-    """Pallas gradInput: each program owns an input tile (+halo) and gathers
-    all (k,l) contributions from the output-side product tensor."""
-    import jax.lax as lax
-
-    # g/kv/kh blocks carry a halo of f-1 on top/left (padded outside).
-    g = g_ref[0]              # (ht+f-1, wt+f-1, C)
-    kv = kv_ref[0]            # (ht+f-1, wt+f-1, f)
-    kh = kh_ref[0]
-    c = g.shape[-1]
-
-    def body_k(k, acc):
-        # output rows y = y' - k → slice at offset (f-1-k)
-        def body_l(l, acc2):
-            gs = lax.dynamic_slice(g, (f - 1 - k, f - 1 - l, 0), (ht, wt, c))
-            kvs = lax.dynamic_slice(kv, (f - 1 - k, f - 1 - l, 0),
-                                    (ht, wt, f))[:, :, k]
-            khs = lax.dynamic_slice(kh, (f - 1 - k, f - 1 - l, 0),
-                                    (ht, wt, f))[:, :, l]
-            return acc2 + gs * (kvs * khs)[..., None]
-
-        return lax.fori_loop(0, f, body_l, acc)
-
-    gin_ref[0] = lax.fori_loop(0, f, body_k,
-                               jnp.zeros((ht, wt, c), g.dtype))
-
-
-def _pallas_grad_input(g, kv, kh, hp, wp, f, ht, wt, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, h, w, c = g.shape
-    # pad g/kv/kh with f-1 zeros on every side so halo reads are in-bounds;
-    # input-tile (y',x') at offset (i*ht, j*wt) reads padded range
-    # [i*ht, i*ht+ht+f-1).
-    pad = ((0, 0), (f - 1, f - 1), (f - 1, f - 1), (0, 0))
-    gp = jnp.pad(g, pad)
-    kvp = jnp.pad(kv, pad)
-    khp = jnp.pad(kh, pad)
-    assert hp % ht == 0 and wp % wt == 0
-    grid = (n, hp // ht, wp // wt)
-    kernel = functools.partial(_grad_input_kernel, f=f, ht=ht, wt=wt)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, hp, wp, c), g.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, pl.Element(ht + f - 1), pl.Element(wt + f - 1), c),
-                         lambda b, i, j: (b, i * ht, j * wt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pl.Element(ht + f - 1), pl.Element(wt + f - 1), f),
-                         lambda b, i, j: (b, i * ht, j * wt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pl.Element(ht + f - 1), pl.Element(wt + f - 1), f),
-                         lambda b, i, j: (b, i * ht, j * wt, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ht, wt, c),
-                               lambda b, i, j: (b, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(gp, kvp, khp)
-
-
 # ---------------------------------------------------------------------------
 # public op with custom VJP
 # ---------------------------------------------------------------------------
 
-def _pick_tiles(h: int, w: int) -> Tuple[int, int]:
-    """Largest tile dims ≤(64, 128) that divide (h, w)."""
-    def pick(dim, cap):
-        t = min(dim, cap)
-        while dim % t:
-            t -= 1
-        return t
-    return pick(h, 64), pick(w, 128)
+def _tpu_shapes_ok(kv) -> bool:
+    h, w = kv.shape[1], kv.shape[2]
+    return (w % 128 == 0) and (h % 8 == 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -312,12 +277,10 @@ def sepconv(inp: jnp.ndarray, kv: jnp.ndarray, kh: jnp.ndarray,
 
 
 def _sepconv_fwd_impl(inp, kv, kh, use_pallas):
-    if not use_pallas or jax.default_backend() != "tpu":
+    if (not use_pallas or jax.default_backend() != "tpu"
+            or not _tpu_shapes_ok(kv)):
         return sepconv_ref(inp, kv, kh)
-    f = kv.shape[-1]
-    h, w = kv.shape[1], kv.shape[2]
-    ht, wt = _pick_tiles(h, w)
-    return _pallas_forward(inp, kv, kh, f, ht, wt)
+    return _pallas_forward(inp, kv, kh, kv.shape[-1])
 
 
 def _sepconv_fwd(inp, kv, kh, use_pallas):
@@ -329,14 +292,15 @@ def _sepconv_bwd(use_pallas, res, g):
     f = kv.shape[-1]
     hp, wp = inp.shape[1], inp.shape[2]
     h, w = kv.shape[1], kv.shape[2]
-    on_tpu = use_pallas and jax.default_backend() == "tpu"
+    on_tpu = (use_pallas and jax.default_backend() == "tpu"
+              and _tpu_shapes_ok(kv))
     if on_tpu:
-        ht, wt = _pick_tiles(h, w)
-        gkv, gkh = _pallas_grad_kernels(inp, g, kv, kh, f, ht, wt)
-        hti, wti = _pick_tiles(hp, wp)
-        gin = _pallas_grad_input(g, kv, kh, hp, wp, f, hti, wti)
+        gkv, gkh = _pallas_grad_kernels(inp, g, kv, kh, f)
+        # gradInput stays on the shift-accumulate jnp path: it is the same
+        # O(F²) loop but with static shifts, which XLA fuses well, and the
+        # padded-halo pallas variant buys little for the extra complexity.
+        gin = _grad_input_ref(g, kv, kh, hp, wp)
     else:
-        # reference-math fallbacks in pure jnp
         n, _, _, c = inp.shape
 
         def body_k(k, carry):
@@ -360,3 +324,25 @@ def _sepconv_bwd(use_pallas, res, g):
 
 
 sepconv.defvjp(_sepconv_fwd, _sepconv_bwd)
+
+
+def separable_conv_flow(kv: jnp.ndarray, kh: jnp.ndarray) -> jnp.ndarray:
+    """Flow field implied by 1-D adaptive kernels — the weighted centroid of
+    each kernel minus its center.
+
+    Reference ``separableconvflow_cuda_kernel.cu:60-90`` (DAIN's
+    SeparableConvFlowLayer): flow_y = Σ_k k·kv[k]/Σ_k kv[k] − (F−1)/2 (same
+    for flow_x from kh); −2000 sentinel where the kernel sums to zero.
+
+    kv/kh: (N, H, W, F) → (N, H, W, 2) channel-last (fx, fy).
+    """
+    f = kv.shape[-1]
+    taps = jnp.arange(f, dtype=kv.dtype)
+    center = (f - 1) / 2.0
+
+    def centroid(k):
+        s = jnp.sum(k, axis=-1)
+        c = jnp.sum(k * taps, axis=-1) / jnp.where(s == 0, 1.0, s) - center
+        return jnp.where(jnp.abs(s) > 0, c, -2000.0)
+
+    return jnp.stack([centroid(kh), centroid(kv)], axis=-1)

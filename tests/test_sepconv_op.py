@@ -65,7 +65,7 @@ def test_pallas_interpret_matches_ref():
     inp, kv, kh = _data(n=2, h=8, w=8, f=5, seed=2)
     inp, kv, kh = jnp.asarray(inp), jnp.asarray(kv), jnp.asarray(kh)
     expected = sc.sepconv_ref(inp, kv, kh)
-    got = sc._pallas_forward(inp, kv, kh, f=5, ht=4, wt=8, interpret=True)
+    got = sc._pallas_forward(inp, kv, kh, f=5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-5, atol=1e-6)
 
@@ -79,15 +79,14 @@ def test_pallas_interpret_grad_kernels_match():
         return jnp.sum(sc.sepconv_ref(i, v, hh) * g)
 
     _, g_kv_auto, g_kh_auto = jax.grad(loss_ref, argnums=(0, 1, 2))(inp, kv, kh)
-    gkv, gkh = sc._pallas_grad_kernels(inp, g, kv, kh, f=3, ht=4, wt=4,
-                                       interpret=True)
+    gkv, gkh = sc._pallas_grad_kernels(inp, g, kv, kh, f=3, interpret=True)
     np.testing.assert_allclose(np.asarray(gkv), np.asarray(g_kv_auto),
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gkh), np.asarray(g_kh_auto),
                                rtol=1e-4, atol=1e-6)
 
 
-def test_pallas_interpret_grad_input_matches():
+def test_grad_input_ref_matches_autodiff():
     inp, kv, kh = _data(n=1, h=4, w=4, f=3, seed=5)
     inp, kv, kh = jnp.asarray(inp), jnp.asarray(kv), jnp.asarray(kh)
     g = jnp.asarray(np.random.RandomState(6).rand(1, 4, 4, 3), jnp.float32)
@@ -96,7 +95,6 @@ def test_pallas_interpret_grad_input_matches():
         return jnp.sum(sc.sepconv_ref(i, v, hh) * g)
 
     g_in_auto, _, _ = jax.grad(loss_ref, argnums=(0, 1, 2))(inp, kv, kh)
-    gin = sc._pallas_grad_input(g, kv, kh, hp=6, wp=6, f=3, ht=6, wt=6,
-                                interpret=True)
+    gin = sc._grad_input_ref(g, kv, kh, hp=6, wp=6)
     np.testing.assert_allclose(np.asarray(gin), np.asarray(g_in_auto),
                                rtol=1e-4, atol=1e-6)
