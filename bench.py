@@ -52,7 +52,62 @@ def bench_cain_interp_fps(height=256, width=448, batch=8, iters=20,
     return batch * iters / marginal
 
 
-def main():
+def bench_model_fps(model_name: str, height=256, width=448, batch=4,
+                    iters=8, dtype="bfloat16", **apply_kw):
+    """Generic marginal-timing fps for any registered model."""
+    import jax
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.models import registry
+
+    md = registry.get(model_name)
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(
+        lambda x: x.astype(jdt) if x.dtype == jnp.float32 else x,
+        md.init(jax.random.PRNGKey(0)))
+    rs = np.random.RandomState(0)
+    f0 = jnp.asarray(rs.rand(batch, height, width, 3), jdt)
+    f1 = jnp.asarray(rs.rand(batch, height, width, 3), jdt)
+
+    step = jax.jit(lambda p, a, b: md.apply(p, a, b, **apply_kw))
+
+    def run(n):
+        a, b = f0, f1
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(params, a, b)
+            out = out[0] if isinstance(out, tuple) else out
+            b = a
+            a = jnp.clip(out, 0, 1).astype(jdt)
+        _ = float(jnp.float32(a).mean())
+        return time.perf_counter() - t0
+
+    run(2)
+    tn = run(iters)
+    t2n = run(2 * iters)
+    return batch * iters / max(t2n - tn, 1e-9)
+
+
+def main(argv=None):
+    import sys
+    argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "--hd":
+        # HD (1080p) CAIN throughput (BASELINE.md secondary metric)
+        fps = bench_cain_interp_fps(height=1088, width=1920, batch=1,
+                                    iters=6)
+        print(json.dumps({"metric": "cain_interp_fps_1080p_bf16",
+                          "value": round(fps, 2), "unit": "frames/s/chip",
+                          "vs_baseline": round(fps, 4)}))
+        return
+    if argv and argv[0] == "--model":
+        name = argv[1]
+        kw = {"warp_range": 16} if name in ("rrin", "superslomo",
+                                            "voxelflow") else {}
+        fps = bench_model_fps(name, **kw)
+        print(json.dumps({"metric": f"{name}_interp_fps_448x256_bf16",
+                          "value": round(fps, 2), "unit": "frames/s/chip",
+                          "vs_baseline": round(fps / 1000.0, 4)}))
+        return
+
     fps = bench_cain_interp_fps()
     target = 1000.0  # BASELINE.md north star, fps/chip @ 448x256
     print(json.dumps({

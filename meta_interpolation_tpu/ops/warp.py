@@ -131,19 +131,21 @@ def grid_sample_bounded(img: jnp.ndarray, grid: jnp.ndarray,
     imgp = jnp.pad(img, ((0, 0), (r, r + 1), (r, r + 1), (0, 0)),
                    mode="edge")
 
-    def body(i, acc):
-        d = i // (2 * r + 2) - r
-        e = i % (2 * r + 2) - r
-        wy = (jnp.where(dy0 == d, 1.0 - fy, 0.0)
-              + jnp.where(dy0 == d - 1, fy, 0.0))
-        wx = (jnp.where(dx0 == e, 1.0 - fx, 0.0)
-              + jnp.where(dx0 == e - 1, fx, 0.0))
-        wgt = (wy * wx)[..., None]
-        shifted = jax.lax.dynamic_slice(imgp, (0, d + r, e + r, 0),
-                                        (n, h, w, c))
-        return acc + wgt * shifted
-
-    out = jax.lax.fori_loop(0, (2 * r + 2) ** 2, body, jnp.zeros_like(img))
+    # Unrolled static slices: precompute the per-axis tap weights once
+    # (2·(2R+2) small arrays), then accumulate the (2R+2)² statically
+    # shifted windows — XLA fuses each pass into a single VPU multiply-add.
+    wys = [(jnp.where(dy0 == d, 1.0 - fy, 0.0)
+            + jnp.where(dy0 == d - 1, fy, 0.0))
+           for d in range(-r, r + 2)]
+    wxs = [(jnp.where(dx0 == e, 1.0 - fx, 0.0)
+            + jnp.where(dx0 == e - 1, fx, 0.0))
+           for e in range(-r, r + 2)]
+    out = jnp.zeros_like(img)
+    for di, d in enumerate(range(-r, r + 2)):
+        for ei, e in enumerate(range(-r, r + 2)):
+            wgt = (wys[di] * wxs[ei])[..., None]
+            shifted = imgp[:, d + r:d + r + h, e + r:e + r + w, :]
+            out = out + wgt * shifted
 
     if padding_mode != "border":
         # reproduce zero-padding: re-weight by the in-bounds bilinear mass
