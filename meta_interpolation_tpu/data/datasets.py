@@ -171,8 +171,19 @@ class HDDataset(_Base):
             if not os.path.isdir(d):
                 continue
             imgs = sorted(glob.glob(os.path.join(d, "*.png")))
-            for s in range(0, len(imgs) - 6, 2):
-                self.clips.append(imgs[s:s + 7])
+            # stride-2 windows; the reference's tail handling appends the
+            # final 7-frame window once per remaining stride step
+            # (hd_dataset.py:24-34) — replicated exactly for eval parity
+            t = 0
+            while t < len(imgs):
+                if len(imgs) >= 7:
+                    if t + 7 <= len(imgs):
+                        self.clips.append(imgs[t:t + 7])
+                    else:
+                        self.clips.append(imgs[-7:])
+                else:
+                    self.clips.append(imgs)
+                t += 2
         self.current_set_name = "val"
         self.data_length = {"train": 0, "val": len(self.clips), "test": 0}
 
@@ -190,15 +201,16 @@ class SNUFILM(_Base):
     def __init__(self, data_root: str, model: str = "cain",
                  test_mode: str = "hard", **_kw):
         self.model = model
+        # NOTE the reference hardcodes 'hard' regardless of --test_mode
+        # (snufilm.py:16, SURVEY §2.2 quirk); here test_mode is honored.
         list_file = os.path.join(data_root, f"test-{test_mode}-meta.txt")
         self.quintuplets: List[List[str]] = []
         if os.path.exists(list_file):
             with open(list_file) as f:
                 for line in f.read().splitlines():
-                    parts = line.split()
-                    if parts:
-                        self.quintuplets.append(
-                            [os.path.join(data_root, p) for p in parts])
+                    parts = line.split(" ")
+                    if parts and parts[0]:
+                        self.quintuplets.append(parts)
         self.current_set_name = "val"
         self.data_length = {"train": 0, "val": len(self.quintuplets), "test": 0}
 
@@ -206,10 +218,14 @@ class SNUFILM(_Base):
         paths = self.quintuplets[index]
         imgs = [normalize_for_model(load_image(p), self.model) for p in paths]
         zero = np.zeros_like(imgs[0])
-        # pad quintuplet [a,b,c,d,e] to septuplet [0,a,b,c,d,e,0] so the
-        # support/target indices line up (reference snufilm.py getitem)
-        frames = np.stack([zero] + imgs + [zero])
-        return frames, {"imgpaths": [""] + paths + [""]}
+        # quintuplet [a,b,c,d,e] → septuplet [a, 0, b, c, d, 0, e]
+        # (reference snufilm.py:57-58): support (0,2,4)=(a,b,d),
+        # query (2,4)→3 = (b,d)→c
+        frames = np.stack([imgs[0], zero, imgs[1], imgs[2], imgs[3], zero,
+                           imgs[4]])
+        meta_paths = [paths[0], "", paths[1], paths[2], paths[3], "",
+                      paths[4]]
+        return frames, {"imgpaths": meta_paths}
 
 
 class VideoDataset(_Base):

@@ -131,21 +131,28 @@ def grid_sample_bounded(img: jnp.ndarray, grid: jnp.ndarray,
     imgp = jnp.pad(img, ((0, 0), (r, r + 1), (r, r + 1), (0, 0)),
                    mode="edge")
 
-    # Unrolled static slices: precompute the per-axis tap weights once
-    # (2·(2R+2) small arrays), then accumulate the (2R+2)² statically
-    # shifted windows — XLA fuses each pass into a single VPU multiply-add.
-    wys = [(jnp.where(dy0 == d, 1.0 - fy, 0.0)
-            + jnp.where(dy0 == d - 1, fy, 0.0))
-           for d in range(-r, r + 2)]
-    wxs = [(jnp.where(dx0 == e, 1.0 - fx, 0.0)
-            + jnp.where(dx0 == e - 1, fx, 0.0))
-           for e in range(-r, r + 2)]
-    out = jnp.zeros_like(img)
-    for di, d in enumerate(range(-r, r + 2)):
-        for ei, e in enumerate(range(-r, r + 2)):
-            wgt = (wys[di] * wxs[ei])[..., None]
-            shifted = imgp[:, d + r:d + r + h, e + r:e + r + w, :]
-            out = out + wgt * shifted
+    use_pallas = (jax.default_backend() == "tpu"
+                  and w % 128 == 0 and h % 8 == 0)
+    if use_pallas:
+        # VMEM-resident Pallas kernel — the XLA-level unrolled fusion graph
+        # compiles pathologically inside large models (ops/warp_pallas.py)
+        from . import warp_pallas
+        out = warp_pallas.warp_bounded_pallas(img, dy0, dx0, fy, fx, r)
+    else:
+        # Unrolled static slices: precompute the per-axis tap weights once,
+        # then accumulate the (2R+2)² statically shifted windows.
+        wys = [(jnp.where(dy0 == d, 1.0 - fy, 0.0)
+                + jnp.where(dy0 == d - 1, fy, 0.0))
+               for d in range(-r, r + 2)]
+        wxs = [(jnp.where(dx0 == e, 1.0 - fx, 0.0)
+                + jnp.where(dx0 == e - 1, fx, 0.0))
+               for e in range(-r, r + 2)]
+        out = jnp.zeros_like(img)
+        for di, d in enumerate(range(-r, r + 2)):
+            for ei, e in enumerate(range(-r, r + 2)):
+                wgt = (wys[di] * wxs[ei])[..., None]
+                shifted = imgp[:, d + r:d + r + h, e + r:e + r + w, :]
+                out = out + wgt * shifted
 
     if padding_mode != "border":
         # reproduce zero-padding: re-weight by the in-bounds bilinear mass

@@ -1,0 +1,102 @@
+"""Pallas TPU kernel for the bounded bilinear warp.
+
+Same math as ``ops/warp.grid_sample_bounded`` (exact for samples within R
+pixels of their output location), but as a Pallas kernel: the image tile
+(+R-row halo) and the coordinate fields stay VMEM-resident across the
+(2R+2)² shift-select accumulation, so there is no giant XLA fusion graph
+(which compiles pathologically server-side) and HBM traffic is O(HWC).
+
+Layout mirrors ops/sepconv.py: C-leading (N, C, H, W) blocks, full-width
+rows, 8-aligned Element row halos. Constraints: W % 128 == 0, H % 8 == 0
+(the models' pad-to-×64/×128 guarantees this); columns are padded by
+128 ≥ 2R+1 for lane alignment.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _warp_kernel(img_ref, dy0_ref, dx0_ref, fy_ref, fx_ref, out_ref,
+                 *, r, ht, w, halo_rows, col_off):
+    """img_ref: (1, C, ht+2*halo_rows, w+256) edge-padded rows/cols;
+    coordinate refs: (1, ht, w); out_ref: (1, C, ht, w)."""
+    import jax.lax as lax
+
+    img = img_ref[0]
+    dy0 = dy0_ref[0]
+    dx0 = dx0_ref[0]
+    fy = fy_ref[0]
+    fx = fx_ref[0]
+    c = img.shape[0]
+    side = 2 * r + 2
+
+    def body(i, acc):
+        d = i // side - r
+        e = i % side - r
+        wy = (jnp.where(dy0 == d, 1.0 - fy, 0.0)
+              + jnp.where(dy0 == d - 1, fy, 0.0))
+        wx = (jnp.where(dx0 == e, 1.0 - fx, 0.0)
+              + jnp.where(dx0 == e - 1, fx, 0.0))
+        wgt = (wy * wx)[None].astype(img.dtype)
+        win = lax.dynamic_slice(img, (0, d + halo_rows, e + col_off),
+                                (c, ht, w))
+        return acc + wgt * win
+
+    out_ref[0] = lax.fori_loop(0, side * side, body,
+                               jnp.zeros((c, ht, w), img.dtype))
+
+
+def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
+                        fy: jnp.ndarray, fx: jnp.ndarray, r: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Accumulate Σ wy·wx·shift(img) with VMEM-resident tiles.
+
+    img: (N, H, W, C) NHWC; dy0/dx0: int32 (N, H, W) floor displacements
+    (pre-clipped to [−r, r−1]); fy/fx: fractional parts. Returns NHWC.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = img.shape
+    assert w % 128 == 0 and h % 8 == 0, (h, w)
+    ht = 32 if h % 32 == 0 else 8
+    halo_rows = _round8(r + 1) + 8  # covers d ∈ [−r, r+1] with 8-alignment
+    col_off = 128                   # column pad ≥ r+1, lane-aligned
+
+    img_cl = jnp.transpose(img, (0, 3, 1, 2))
+    img_cl = jnp.pad(img_cl, ((0, 0), (0, 0), (halo_rows, halo_rows),
+                              (col_off, col_off)), mode="edge")
+
+    dy0 = dy0.astype(jnp.int32)
+    dx0 = dx0.astype(jnp.int32)
+    fy = fy.astype(jnp.float32)
+    fx = fx.astype(jnp.float32)
+
+    grid = (n, h // ht)
+    kernel = functools.partial(_warp_kernel, r=r, ht=ht, w=w,
+                               halo_rows=halo_rows, col_off=col_off)
+    cspec = pl.BlockSpec((1, ht, w), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), img.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, pl.Element(ht + 2 * halo_rows),
+                          w + 2 * col_off),
+                         lambda b, i: (b, 0, i * ht, 0),
+                         memory_space=pltpu.VMEM),
+            cspec, cspec, cspec, cspec,
+        ],
+        out_specs=pl.BlockSpec((1, c, ht, w), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(img_cl, dy0, dx0, fy, fx)
+    return jnp.transpose(out, (0, 2, 3, 1))

@@ -52,6 +52,39 @@ def test_bounded_warp_rrin_convention():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=1e-5)
 
 
+def test_pallas_bounded_warp_interpret_matches_unrolled():
+    """Pallas bounded-warp kernel (interpret mode) vs the jnp math."""
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.ops import warp_pallas
+
+    rs = np.random.RandomState(8)
+    img = jnp.asarray(rs.rand(1, 16, 128, 3).astype(np.float32))
+    h, w = 16, 128
+    r = 4
+    dy = (rs.rand(1, h, w).astype(np.float32) - 0.5) * 6
+    dx = (rs.rand(1, h, w).astype(np.float32) - 0.5) * 6
+    dy0 = np.floor(dy).astype(np.int32)
+    dx0 = np.floor(dx).astype(np.int32)
+    fy = (dy - dy0).astype(np.float32)
+    fx = (dx - dx0).astype(np.float32)
+
+    got = warp_pallas.warp_bounded_pallas(
+        img, jnp.asarray(dy0), jnp.asarray(dx0), jnp.asarray(fy),
+        jnp.asarray(fx), r, interpret=True)
+
+    # jnp reference of the same accumulation (edge-padded shifts)
+    imgp = np.pad(np.asarray(img), ((0, 0), (r + 1, r + 1), (r + 1, r + 1),
+                                    (0, 0)), mode="edge")
+    exp = np.zeros_like(np.asarray(img))
+    for d in range(-r, r + 2):
+        for e in range(-r, r + 2):
+            wy = np.where(dy0 == d, 1 - fy, 0) + np.where(dy0 == d - 1, fy, 0)
+            wx = np.where(dx0 == e, 1 - fx, 0) + np.where(dx0 == e - 1, fx, 0)
+            win = imgp[:, d + r + 1:d + r + 1 + h, e + r + 1:e + r + 1 + w]
+            exp = exp + (wy * wx)[..., None] * win
+    np.testing.assert_allclose(np.asarray(got), exp, atol=1e-5)
+
+
 def test_bounded_warp_differentiable():
     import jax
     img = jnp.asarray(_rand((1, 8, 8, 2), 6))
