@@ -82,6 +82,9 @@ class Config:
     crop_size: int = 256
     jit_episode: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # bounded fast warp for flow models (0 = exact gather; >0 = pixel bound,
+    # inference-quality path — see ops/warp.grid_sample_bounded)
+    fast_warp_range: int = 0
 
     @property
     def num_inner_steps(self) -> int:

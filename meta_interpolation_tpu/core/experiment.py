@@ -90,8 +90,9 @@ class ExperimentBuilder:
         losses_a, preds_a = self._tiled_val_iter(a, limit)
         losses_b, preds_b = self._tiled_val_iter(b, limit)
         losses = {k: (losses_a[k] + losses_b[k]) / 2.0 for k in losses_a}
+        # frames axis 2/3 (H/W) maps to preds axis 1/2 (preds drop T)
         preds = np.concatenate([np.asarray(preds_a), np.asarray(preds_b)],
-                               axis=axis + 0 if axis == 1 else axis)
+                               axis=axis)
         return losses, preds
 
     # ------------------------------------------------------------------

@@ -82,6 +82,9 @@ class SceneAdaptiveInterpolation:
         if cfg.model == "cain":
             self.model_kwargs = {"depth": cfg.depth,
                                  "n_resblocks": cfg.n_resblocks}
+        if cfg.model in ("rrin", "superslomo", "voxelflow") and \
+                cfg.fast_warp_range > 0:
+            self.model_kwargs["warp_range"] = cfg.fast_warp_range
         net_params = self.model_def.init(r_net, **self.model_kwargs)
         self.inner_opt = make_inner_optimizer(cfg)
         lrs = self.inner_opt.init_lrs(net_params, cfg.inner_lr)
@@ -201,9 +204,11 @@ class SceneAdaptiveInterpolation:
             meta_params = optax.apply_updates(meta_params, updates)
             return meta_params, opt_state, loss, aux
 
-        fn = train_step
-        if self.cfg.jit_episode:
-            fn = self._maybe_shard(jax.jit(train_step))
+        # episode parallelism needs no special handling here: inputs arrive
+        # sharded over the task axis (run_train_iter → shard_task_batch) and
+        # jit's computation-follows-data replicates params / inserts the
+        # outer-gradient psum automatically
+        fn = jax.jit(train_step) if self.cfg.jit_episode else train_step
         self._jit_cache[key] = fn
         return fn
 
@@ -233,16 +238,6 @@ class SceneAdaptiveInterpolation:
 
         fn = jax.jit(test_step) if self.cfg.jit_episode else test_step
         self._jit_cache[key] = fn
-        return fn
-
-    def _maybe_shard(self, fn):
-        """Shard the task axis over the mesh when episode_parallel is on.
-
-        With a Mesh attached, inputs get sharded along 'task' via
-        jax.device_put in run_train_iter; jit's computation-follows-data takes
-        care of the rest (episode-parallel = pure data parallelism over
-        tasks; outer grads are reduced by XLA's psum under the hood).
-        """
         return fn
 
     # ------------------------------------------------------------------

@@ -72,31 +72,36 @@ def sepconv_ref(inp: jnp.ndarray, kv: jnp.ndarray, kh: jnp.ndarray
 # Pallas TPU kernels (C-leading, full-width blocks)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(inp_ref, kv_ref, kh_ref, out_ref, *, f, ht, w, wpad):
+def _fwd_kernel(inp_ref, kv_ref, kh_ref, out_ref, *, f, ht, w, wpad, c):
     """One (batch, row-tile) program.
 
     inp_ref: (1, C, ht+HALO, w+wpad) — rows [i*ht, i*ht+ht+HALO)
     kv_ref/kh_ref: (1, f, ht, w); out_ref: (1, C, ht, w)
+
+    Tap windows are produced by ``pltpu.roll`` + offset-0 slices: Mosaic
+    lowers rolls to cheap rotates, whereas unaligned static slices generate
+    per-tap relayout copies that spill registers (measured: 229 MB of spill
+    slots for the F²-unrolled slice form). Accumulation is in-place on the
+    output ref so no temporary outlives its statement.
     """
     import jax.lax as lax
+    from jax.experimental.pallas import tpu as pltpu
 
-    inp = inp_ref[0]
-    kv = kv_ref[0]
-    kh = kh_ref[0]
-    c = inp.shape[0]
+    blk = inp_ref[0]
+    n_rows = blk.shape[1]
+    n_cols = blk.shape[2]
 
-    def body_k(k, acc):
-        rows = lax.dynamic_slice(inp, (0, k, 0), (c, ht, w + wpad))
+    def body(i, acc):
+        k = i // f
+        l = i % f
+        # roll shift is non-negative: shift by (n−k) moves content up by k,
+        # so [:ht] / [:w] are rows k.. / cols l.. (dynamic_rotate)
+        rows = pltpu.roll(blk, (n_rows - k) % n_rows, 1)[:, :ht, :]
+        win = pltpu.roll(rows, (n_cols - l) % n_cols, 2)[:, :, :w]
+        return acc + win * (kv_ref[0, k] * kh_ref[0, l])[None]
 
-        def body_l(l, acc_h):
-            win = lax.dynamic_slice(rows, (0, 0, l), (c, ht, w))
-            return acc_h + win * kh[l][None]
-
-        acc_h = lax.fori_loop(0, f, body_l, jnp.zeros((c, ht, w), inp.dtype))
-        return acc + acc_h * kv[k][None]
-
-    out_ref[0] = lax.fori_loop(0, f, body_k,
-                               jnp.zeros((c, ht, w), inp.dtype))
+    out_ref[0] = lax.fori_loop(0, f * f, body,
+                               jnp.zeros((c, ht, w), out_ref.dtype))
 
 
 def _row_tile(h: int, cap: int = 32) -> int:
@@ -121,6 +126,14 @@ def _pallas_forward(inp, kv, kh, f, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # Mosaic rotate supports 32-bit data only — run the kernel in f32
+    out_dtype = inp.dtype
+    if out_dtype != jnp.float32:
+        out = _pallas_forward(inp.astype(jnp.float32),
+                              kv.astype(jnp.float32),
+                              kh.astype(jnp.float32), f, interpret)
+        return out.astype(out_dtype)
+
     n, hp, wp, c = inp.shape
     h, w = hp - f + 1, wp - f + 1
     if not interpret:
@@ -136,13 +149,16 @@ def _pallas_forward(inp, kv, kh, f, interpret=False):
     kh_cl = jnp.transpose(kh, (0, 3, 1, 2))
 
     grid = (n, h // ht)
-    kernel = functools.partial(_fwd_kernel, f=f, ht=ht, w=w, wpad=wpad)
+    kernel = functools.partial(_fwd_kernel, f=f, ht=ht, w=w, wpad=wpad, c=c)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, c, h, w), inp.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, pl.Element(ht + _HALO), w + wpad),
+            # all-Element halo'd input block (mixed Element/Blocked specs
+            # are rejected by Mosaic)
+            pl.BlockSpec((pl.Element(1), pl.Element(c),
+                          pl.Element(ht + _HALO), pl.Element(w + wpad)),
                          lambda b, i: (b, 0, i * ht, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f, ht, w), lambda b, i: (b, 0, i, 0),
@@ -161,45 +177,43 @@ def _grad_kernels_kernel(inp_ref, g_ref, kv_ref, kh_ref, gkv_ref, gkh_ref,
                          *, f, ht, w, wpad):
     """Fused gradVertical + gradHorizontal (reference :138-190).
 
-    gkv(k) = Σ_c g_c ⊙ (Σ_l win(k,l)_c ⊙ kh_l);  gkh(l) += Σ_c g_c ⊙ win ⊙ kv_k
+    gkv(k) = Σ_l kh_l ⊙ gw(k,l);  gkh(l) = Σ_k kv_k ⊙ gw(k,l)
+    with gw(k,l) = Σ_c g_c ⊙ win(k,l)_c. Fully static unrolled taps (see
+    _fwd_kernel) with python-side accumulators, written once per tap row.
     """
     import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    inp = inp_ref[0]          # (C, ht+HALO, w+wpad)
     g = g_ref[0]              # (C, ht, w)
-    kv = kv_ref[0]            # (f, ht, w)
-    kh = kh_ref[0]
-    c = inp.shape[0]
+    gkv_ref[0] = jnp.zeros((f, ht, w), gkv_ref.dtype)
+    gkh_ref[0] = jnp.zeros((f, ht, w), gkh_ref.dtype)
+    blk = inp_ref[0]
+    n_rows = blk.shape[1]
+    n_cols = blk.shape[2]
 
-    def body_k(k, carry):
-        gkv, gkh = carry
-        rows = lax.dynamic_slice(inp, (0, k, 0), (c, ht, w + wpad))
+    def body(i, _):
+        k = i // f
+        l = i % f
+        rows = pltpu.roll(blk, (n_rows - k) % n_rows, 1)[:, :ht, :]
+        win = pltpu.roll(rows, (n_cols - l) % n_cols, 2)[:, :, :w]
+        gw = jnp.sum(win * g, axis=0)          # (ht, w)
+        gkv_ref[0, k] += gw * kh_ref[0, l]
+        gkh_ref[0, l] += gw * kv_ref[0, k]
+        return 0
 
-        def body_l(l, inner):
-            gkv_k, gkh = inner
-            win = lax.dynamic_slice(rows, (0, 0, l), (c, ht, w))
-            gw = jnp.sum(win * g, axis=0)          # (ht, w)
-            gkv_k = gkv_k + gw * kh[l]
-            gkh = lax.dynamic_update_slice(
-                gkh, (lax.dynamic_slice(gkh, (l, 0, 0), (1, ht, w))[0]
-                      + gw * kv[k])[None], (l, 0, 0))
-            return gkv_k, gkh
-
-        gkv_k, gkh = lax.fori_loop(
-            0, f, body_l, (jnp.zeros((ht, w), inp.dtype), gkh))
-        gkv = lax.dynamic_update_slice(gkv, gkv_k[None], (k, 0, 0))
-        return gkv, gkh
-
-    gkv, gkh = lax.fori_loop(
-        0, f, body_k,
-        (jnp.zeros((f, ht, w), inp.dtype), jnp.zeros((f, ht, w), inp.dtype)))
-    gkv_ref[0] = gkv
-    gkh_ref[0] = gkh
+    lax.fori_loop(0, f * f, body, 0)
 
 
 def _pallas_grad_kernels(inp, g, kv, kh, f, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if inp.dtype != jnp.float32:
+        gkv, gkh = _pallas_grad_kernels(
+            inp.astype(jnp.float32), g.astype(jnp.float32),
+            kv.astype(jnp.float32), kh.astype(jnp.float32), f, interpret)
+        return gkv.astype(kv.dtype), gkh.astype(kh.dtype)
 
     n, hp, wp, c = inp.shape
     h, w = kv.shape[1], kv.shape[2]
@@ -224,7 +238,8 @@ def _pallas_grad_kernels(inp, g, kv, kh, f, interpret=False):
                    jax.ShapeDtypeStruct((n, f, h, w), inp.dtype)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, pl.Element(ht + _HALO), w + wpad),
+            pl.BlockSpec((pl.Element(1), pl.Element(c),
+                          pl.Element(ht + _HALO), pl.Element(w + wpad)),
                          lambda b, i: (b, 0, i * ht, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, ht, w), lambda b, i: (b, 0, i, 0),

@@ -24,33 +24,41 @@ def _round8(x: int) -> int:
 
 
 def _warp_kernel(img_ref, dy0_ref, dx0_ref, fy_ref, fx_ref, out_ref,
-                 *, r, ht, w, halo_rows, col_off):
-    """img_ref: (1, C, ht+2*halo_rows, w+256) edge-padded rows/cols;
-    coordinate refs: (1, ht, w); out_ref: (1, C, ht, w)."""
-    import jax.lax as lax
+                 *, r, ht, w, halo_rows, col_off, c):
+    """img_ref: (1, C, ht+2*halo_rows, w+2*col_off) edge-padded rows/cols;
+    coordinate refs: (1, ht, w); out_ref: (1, C, ht, w).
 
-    img = img_ref[0]
+    The (2R+2)² displacement sweep is unrolled with ``pltpu.roll`` +
+    offset-0 slices (rolls are cheap rotates; unaligned slices spill).
+    Per-axis tap weights are computed once; accumulation is in-place on the
+    output ref.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
     dy0 = dy0_ref[0]
     dx0 = dx0_ref[0]
     fy = fy_ref[0]
     fx = fx_ref[0]
-    c = img.shape[0]
-    side = 2 * r + 2
 
-    def body(i, acc):
-        d = i // side - r
-        e = i % side - r
-        wy = (jnp.where(dy0 == d, 1.0 - fy, 0.0)
-              + jnp.where(dy0 == d - 1, fy, 0.0))
-        wx = (jnp.where(dx0 == e, 1.0 - fx, 0.0)
-              + jnp.where(dx0 == e - 1, fx, 0.0))
-        wgt = (wy * wx)[None].astype(img.dtype)
-        win = lax.dynamic_slice(img, (0, d + halo_rows, e + col_off),
-                                (c, ht, w))
-        return acc + wgt * win
+    wys = [(jnp.where(dy0 == d, 1.0 - fy, 0.0)
+            + jnp.where(dy0 == d - 1, fy, 0.0))
+           for d in range(-r, r + 2)]
+    wxs = [(jnp.where(dx0 == e, 1.0 - fx, 0.0)
+            + jnp.where(dx0 == e - 1, fx, 0.0))
+           for e in range(-r, r + 2)]
 
-    out_ref[0] = lax.fori_loop(0, side * side, body,
-                               jnp.zeros((c, ht, w), img.dtype))
+    out_ref[0] = jnp.zeros((c, ht, w), out_ref.dtype)
+    blk = img_ref[0]
+    n_rows = blk.shape[1]
+    n_cols = blk.shape[2]
+    for di, d in enumerate(range(-r, r + 2)):
+        rows = pltpu.roll(blk, (n_rows - (d + halo_rows)) % n_rows,
+                          1)[:, :ht, :]
+        for ei, e in enumerate(range(-r, r + 2)):
+            win = pltpu.roll(rows, (n_cols - (e + col_off)) % n_cols,
+                             2)[:, :, :w]
+            wgt = (wys[di] * wxs[ei])[None].astype(out_ref.dtype)
+            out_ref[0] += wgt * win
 
 
 def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
@@ -63,6 +71,12 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic rotate supports 32-bit data only — run the kernel in f32
+    if img.dtype != jnp.float32:
+        out = warp_bounded_pallas(img.astype(jnp.float32), dy0, dx0, fy, fx,
+                                  r, interpret)
+        return out.astype(img.dtype)
 
     n, h, w, c = img.shape
     assert w % 128 == 0 and h % 8 == 0, (h, w)
@@ -81,7 +95,7 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
 
     grid = (n, h // ht)
     kernel = functools.partial(_warp_kernel, r=r, ht=ht, w=w,
-                               halo_rows=halo_rows, col_off=col_off)
+                               halo_rows=halo_rows, col_off=col_off, c=c)
     cspec = pl.BlockSpec((1, ht, w), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -89,8 +103,11 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n, c, h, w), img.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, pl.Element(ht + 2 * halo_rows),
-                          w + 2 * col_off),
+            # a BlockSpec must be all-Element or all-Blocked; the halo'd
+            # input uses Element on every dim (offsets in elements)
+            pl.BlockSpec((pl.Element(1), pl.Element(c),
+                          pl.Element(ht + 2 * halo_rows),
+                          pl.Element(w + 2 * col_off)),
                          lambda b, i: (b, 0, i * ht, 0),
                          memory_space=pltpu.VMEM),
             cspec, cspec, cspec, cspec,
