@@ -28,11 +28,12 @@ def _warp_kernel(img_ref, dy0_ref, dx0_ref, fy_ref, fx_ref, out_ref,
     """img_ref: (1, C, ht+2*halo_rows, w+2*col_off) edge-padded rows/cols;
     coordinate refs: (1, ht, w); out_ref: (1, C, ht, w).
 
-    The (2R+2)² displacement sweep is unrolled with ``pltpu.roll`` +
-    offset-0 slices (rolls are cheap rotates; unaligned slices spill).
-    Per-axis tap weights are computed once; accumulation is in-place on the
-    output ref.
+    The (2R+2)² displacement sweep is a ``fori_loop`` of ``pltpu.roll``
+    (dynamic_rotate) + offset-0 slices: rolls are cheap rotates, unaligned
+    slices spill registers, and an unrolled sweep's live temporaries OOM
+    the scoped-VMEM stack allocator.
     """
+    import jax.lax as lax
     from jax.experimental.pallas import tpu as pltpu
 
     dy0 = dy0_ref[0]
@@ -40,25 +41,26 @@ def _warp_kernel(img_ref, dy0_ref, dx0_ref, fy_ref, fx_ref, out_ref,
     fy = fy_ref[0]
     fx = fx_ref[0]
 
-    wys = [(jnp.where(dy0 == d, 1.0 - fy, 0.0)
-            + jnp.where(dy0 == d - 1, fy, 0.0))
-           for d in range(-r, r + 2)]
-    wxs = [(jnp.where(dx0 == e, 1.0 - fx, 0.0)
-            + jnp.where(dx0 == e - 1, fx, 0.0))
-           for e in range(-r, r + 2)]
-
-    out_ref[0] = jnp.zeros((c, ht, w), out_ref.dtype)
     blk = img_ref[0]
     n_rows = blk.shape[1]
     n_cols = blk.shape[2]
-    for di, d in enumerate(range(-r, r + 2)):
+    side = 2 * r + 2
+
+    def body(i, acc):
+        d = i // side - r
+        e = i % side - r
+        wy = (jnp.where(dy0 == d, 1.0 - fy, 0.0)
+              + jnp.where(dy0 == d - 1, fy, 0.0))
+        wx = (jnp.where(dx0 == e, 1.0 - fx, 0.0)
+              + jnp.where(dx0 == e - 1, fx, 0.0))
         rows = pltpu.roll(blk, (n_rows - (d + halo_rows)) % n_rows,
                           1)[:, :ht, :]
-        for ei, e in enumerate(range(-r, r + 2)):
-            win = pltpu.roll(rows, (n_cols - (e + col_off)) % n_cols,
-                             2)[:, :, :w]
-            wgt = (wys[di] * wxs[ei])[None].astype(out_ref.dtype)
-            out_ref[0] += wgt * win
+        win = pltpu.roll(rows, (n_cols - (e + col_off)) % n_cols,
+                         2)[:, :, :w]
+        return acc + (wy * wx)[None].astype(out_ref.dtype) * win
+
+    out_ref[0] = lax.fori_loop(0, side * side, body,
+                               jnp.zeros((c, ht, w), out_ref.dtype))
 
 
 def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
