@@ -100,8 +100,8 @@ def main(argv=None):
         return
     if argv and argv[0] == "--model":
         name = argv[1]
-        kw = {"warp_range": 16} if name in ("rrin", "superslomo",
-                                            "voxelflow") else {}
+        kw = {"warp_range": 8} if name in ("rrin", "superslomo",
+                                           "voxelflow") else {}
         fps = bench_model_fps(name, **kw)
         print(json.dumps({"metric": f"{name}_interp_fps_448x256_bf16",
                           "value": round(fps, 2), "unit": "frames/s/chip",

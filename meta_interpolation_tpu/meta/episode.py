@@ -162,8 +162,15 @@ class EpisodeBuilder:
 
         def body(carry, step_idx):
             params, opt_state = carry
+            # First order: block tangents at the *input* of the inner grad
+            # (not just its output) so the outer linearization never enters
+            # the gradient computation — required for ops whose custom-VJP
+            # backward is itself non-differentiable (pallas sepconv), and
+            # semantically identical to the reference's create_graph=False.
+            grad_src = params if spec.second_order else jax.tree.map(
+                jax.lax.stop_gradient, params)
             grads = jax.grad(
-                lambda p: self._support_loss(p, frames, spec))(params)
+                lambda p: self._support_loss(p, frames, spec))(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
             grads = self._masked(grads)

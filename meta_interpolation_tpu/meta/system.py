@@ -85,6 +85,10 @@ class SceneAdaptiveInterpolation:
         if cfg.model in ("rrin", "superslomo", "voxelflow") and \
                 cfg.fast_warp_range > 0:
             self.model_kwargs["warp_range"] = cfg.fast_warp_range
+        if cfg.model == "sepconv" and cfg.second_order:
+            # the pallas op's hand-written backward is not itself
+            # differentiable; second-order MAML needs the jnp path
+            self.model_kwargs["use_pallas"] = False
         net_params = self.model_def.init(r_net, **self.model_kwargs)
         self.inner_opt = make_inner_optimizer(cfg)
         lrs = self.inner_opt.init_lrs(net_params, cfg.inner_lr)
