@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def bench_cain_interp_fps(height=256, width=448, batch=8, iters=20,
+def bench_cain_interp_fps(height=256, width=448, batch=16, iters=12,
                           warmup=3, dtype="bfloat16"):
     import jax
     import jax.numpy as jnp

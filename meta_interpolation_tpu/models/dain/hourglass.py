@@ -43,15 +43,15 @@ def _init_node(rng, node) -> Params:
     op = node["op"]
     if op == "conv":
         kh, kw = node["k"]
-        # reference inits depth-net convs normal(0, sqrt(2/n)) via the
-        # surrounding torch defaults; use kaiming-normal fan-out
-        n = kh * kw * node["out"]
-        k1, _ = jax.random.split(rng)
-        p = {"kernel": jax.random.normal(
-            k1, (kh, kw, node["in"], node["out"])) * jnp.sqrt(2.0 / n)}
-        if node.get("bias", True):
-            p["bias"] = jnp.zeros((node["out"],))
-        return p
+        # the reference applies no explicit init to the depth net (DAIN's
+        # _initialize_weights runs before depthNet is constructed), so torch
+        # Conv2d defaults apply — matched via layers.conv_init. NOTE:
+        # random-init log-depth magnitudes still explode through the ~30
+        # nested inception levels (reference-identical); real use loads the
+        # released MegaDepth weights.
+        from .. import layers as L
+        return L.conv_init(rng, node["in"], node["out"], (kh, kw),
+                           bias=node.get("bias", True))
     if op == "bn":
         ch = node["ch"]
         p = {"mean": jnp.zeros((ch,)), "var": jnp.ones((ch,))}
