@@ -81,6 +81,18 @@ def discriminator_apply(params: Params, x: jnp.ndarray,
     return layers.linear(params["classifier"]["2"], x)
 
 
+def generator_loss(disc_params: Params, fake: jnp.ndarray, gan_type: str,
+                   patch_size: int = 96) -> jnp.ndarray:
+    """Pure generator adversarial term (reference loss.py:221-230) — safe
+    inside the jitted episode; ``disc_params`` must be threaded as a traced
+    argument (loss_ctx) so jit never caches stale discriminator weights."""
+    d_fake = discriminator_apply(disc_params, fake, patch_size)
+    if gan_type == "GAN":
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(
+            d_fake, jnp.ones_like(d_fake)))
+    return -jnp.mean(d_fake)
+
+
 @dataclasses.dataclass
 class AdversarialState:
     gan_type: str
@@ -110,6 +122,23 @@ class AdversarialState:
         return -jnp.mean(d_fake)  # WGAN variants (:226-227)
 
     # -- discriminator step (outside the episode) --------------------------
+    def jitted_update(self):
+        """Cached jitted pure update: (params, opt_state, fake, real, rng)
+        → (params, opt_state, loss). Use for per-iteration training updates
+        (the eager method below dispatches op-by-op)."""
+        if not hasattr(self, "_jit_update"):
+            tx, gan_type, patch = self.tx, self.gan_type, self.patch_size
+
+            def step(params, opt_state, fake, real, rng):
+                tmp = AdversarialState(gan_type=gan_type, params=params,
+                                       opt_state=opt_state, tx=tx,
+                                       patch_size=patch)
+                loss = tmp.update_discriminator(fake, real, rng)
+                return tmp.params, tmp.opt_state, loss
+
+            object.__setattr__(self, "_jit_update", jax.jit(step))
+        return self._jit_update
+
     def update_discriminator(self, fake: jnp.ndarray, real: jnp.ndarray,
                              rng: jax.Array) -> jnp.ndarray:
         fake = jax.lax.stop_gradient(fake)

@@ -287,7 +287,8 @@ LossFn = Callable[..., Dict[str, jnp.ndarray]]
 def make_loss_fn(spec: str,
                  vgg19_params: Optional[Dict[str, Any]] = None,
                  vgg16_params: Optional[Dict[str, Any]] = None,
-                 rng: Optional[jax.Array] = None) -> LossFn:
+                 rng: Optional[jax.Array] = None,
+                 patch_size: int = 96) -> LossFn:
     """Build a pure ``loss_fn(pred, target, aux=None) -> {type: w*loss, 'total'}``.
 
     Mirrors reference Loss.forward (loss.py:325-350): each term is weighted,
@@ -307,7 +308,10 @@ def make_loss_fn(spec: str,
         vgg16_params = init_vgg16_params(rng)
 
     def loss_fn(pred, target, aux: Optional[Dict[str, Any]] = None,
-                disc_apply: Optional[Callable] = None):
+                ctx: Optional[Dict[str, Any]] = None):
+        """``ctx`` carries traced loss-side parameters (currently the GAN
+        discriminator: {'disc': params, 'gan_type': str, 'patch_size': int})
+        so jit never bakes stale weights into the episode."""
         losses: Dict[str, jnp.ndarray] = {}
         total = 0.0
         for t in terms:
@@ -325,10 +329,13 @@ def make_loss_fn(spec: str,
             elif "Super" in lt:
                 val = superslomo_loss(pred, target, aux or {}, vgg16_params)
             elif "GAN" in lt:
-                if disc_apply is None:
+                if ctx is None or "disc" not in ctx:
                     raise ValueError(
-                        "adversarial loss requires disc_apply from AdversarialState")
-                val = disc_apply(pred)
+                        "adversarial loss needs ctx={'disc': params, ...} — "
+                        "wired by SceneAdaptiveInterpolation when --loss "
+                        "contains a GAN term")
+                from .adversarial import generator_loss
+                val = generator_loss(ctx["disc"], pred, lt, patch_size)
             else:
                 raise ValueError(f"unknown loss type: {lt}")
             eff = t.weight * val

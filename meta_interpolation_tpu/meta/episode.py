@@ -100,15 +100,19 @@ class EpisodeBuilder:
     def __init__(self, apply_fn: Callable, loss_fn: Callable,
                  inner_opt: InnerOptimizer,
                  denormalize: Callable = lambda x: x,
-                 inner_mask: Optional[PyTree] = None):
+                 inner_mask: Optional[PyTree] = None,
+                 uses_loss_ctx: bool = False):
         self.apply_fn = apply_fn
         self.loss_fn = loss_fn
         self.inner_opt = inner_opt
         self.denormalize = denormalize
         self.inner_mask = inner_mask
+        # when True, meta_params['loss_ctx'] (e.g. GAN discriminator params)
+        # is passed to loss_fn as the ctx kwarg — traced, never jit-stale
+        self.uses_loss_ctx = uses_loss_ctx
 
     # -- loss plumbing -----------------------------------------------------
-    def _pair_loss(self, params, f0, f1, target):
+    def _pair_loss(self, params, f0, f1, target, loss_ctx=None):
         out = self.apply_fn(params, f0[None], f1[None])
         if isinstance(out, tuple):
             pred, aux = out
@@ -116,12 +120,17 @@ class EpisodeBuilder:
             aux["I0"], aux["I1"] = f0[None], f1[None]
         else:
             pred, aux = out, None
-        return self.loss_fn(pred, target[None], aux)["total"], pred[0]
+        if self.uses_loss_ctx:
+            losses = self.loss_fn(pred, target[None], aux, ctx=loss_ctx)
+        else:
+            losses = self.loss_fn(pred, target[None], aux)
+        return losses["total"], pred[0]
 
-    def _support_loss(self, params, frames, spec: EpisodeSpec):
+    def _support_loss(self, params, frames, spec: EpisodeSpec, loss_ctx=None):
         total = 0.0
         for (i0, it, i1) in spec.support_idxs:
-            loss, _ = self._pair_loss(params, frames[i0], frames[i1], frames[it])
+            loss, _ = self._pair_loss(params, frames[i0], frames[i1],
+                                      frames[it], loss_ctx)
             total = total + loss
         return total
 
@@ -131,9 +140,11 @@ class EpisodeBuilder:
         return jax.tree.map(lambda g, m: g * m, grads, self.inner_mask)
 
     # -- L2F ---------------------------------------------------------------
-    def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec):
+    def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec,
+                   loss_ctx=None):
         """Scale the init per-leaf by gamma (reference :231-272)."""
-        grads = jax.grad(lambda p: self._support_loss(p, frames, spec))(net_params)
+        grads = jax.grad(lambda p: self._support_loss(
+            p, frames, spec, loss_ctx))(net_params)
         grads = jax.lax.stop_gradient(grads)  # create_graph=False (:246-247)
         leaves = jax.tree.leaves(grads)
         emb = jnp.stack([jnp.mean(g) for g in leaves])
@@ -145,14 +156,15 @@ class EpisodeBuilder:
     # -- single-task episode ----------------------------------------------
     def adapt(self, net_params: PyTree, lrs: PyTree, frames: jnp.ndarray,
               spec: EpisodeSpec, attenuator: Optional[PyTree] = None,
-              collect_msl: bool = False):
+              collect_msl: bool = False, loss_ctx=None):
         """Inner-loop adaptation on one task.
 
         frames: (T, H, W, C). Returns (adapted_params, per_step_query_losses)
         where the losses array is only populated when ``collect_msl``.
         """
         if spec.attenuate and attenuator is not None:
-            net_params = self._attenuate(net_params, attenuator, frames, spec)
+            net_params = self._attenuate(net_params, attenuator, frames, spec,
+                                         loss_ctx)
 
         if spec.num_steps == 0:
             return net_params, jnp.zeros((0,))
@@ -170,7 +182,8 @@ class EpisodeBuilder:
             grad_src = params if spec.second_order else jax.tree.map(
                 jax.lax.stop_gradient, params)
             grads = jax.grad(
-                lambda p: self._support_loss(p, frames, spec))(grad_src)
+                lambda p: self._support_loss(p, frames, spec,
+                                             loss_ctx))(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
             grads = self._masked(grads)
@@ -178,7 +191,7 @@ class EpisodeBuilder:
                 params, grads, lrs, opt_state, step_idx)
             if collect_msl:
                 q_loss, _ = self._pair_loss(params, frames[q0], frames[q1],
-                                            frames[qt])
+                                            frames[qt], loss_ctx)
             else:
                 q_loss = jnp.zeros(())
             return (params, opt_state), q_loss
@@ -197,19 +210,21 @@ class EpisodeBuilder:
         net = meta_params["net"]
         lrs = meta_params["lrs"]
         attenuator = meta_params.get("attenuator")
+        loss_ctx = meta_params.get("loss_ctx")
         collect_msl = spec.use_msl and training
         adapted, step_losses = self.adapt(net, lrs, frames, spec,
                                           attenuator=attenuator,
-                                          collect_msl=collect_msl)
+                                          collect_msl=collect_msl,
+                                          loss_ctx=loss_ctx)
         q0, qt, q1 = spec.target_idxs
         if collect_msl:
             outer_loss = jnp.sum(msl_weights[:spec.num_steps] * step_losses)
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
-                                           frames[qt])
+                                           frames[qt], loss_ctx)
             q_loss = jax.lax.stop_gradient(q_loss)
         else:
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
-                                           frames[qt])
+                                           frames[qt], loss_ctx)
             outer_loss = q_loss
         if not training:
             # eval: adapt with grads, query under no-grad (:414-423)
@@ -256,7 +271,8 @@ class EpisodeBuilder:
         def one(task_frames):
             adapted, _ = self.adapt(meta_params["net"], meta_params["lrs"],
                                     task_frames, spec,
-                                    attenuator=meta_params.get("attenuator"))
+                                    attenuator=meta_params.get("attenuator"),
+                                    loss_ctx=meta_params.get("loss_ctx"))
             out = self.apply_fn(adapted, task_frames[1][None],
                                 task_frames[2][None])
             pred = out[0] if isinstance(out, tuple) else out

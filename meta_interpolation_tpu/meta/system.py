@@ -105,6 +105,20 @@ class SceneAdaptiveInterpolation:
             inner_mask = self.model_def.inner_mask_fn(net_params)
         self.inner_mask = inner_mask
 
+        # adversarial loss: discriminator lives in meta_params['loss_ctx']
+        # (traced through the episode, excluded from the outer optimizer)
+        # and is updated once per outer iteration — the reference updates it
+        # inside every criterion call (loss.py:168-213), documented deviation
+        self.adv_state = None
+        gan_terms = [t for t in losses_lib.parse_loss_spec(cfg.loss)
+                     if "GAN" in t.loss_type]
+        if gan_terms:
+            from ..core.adversarial import AdversarialState
+            self.adv_state = AdversarialState.create(
+                jax.random.PRNGKey(cfg.random_seed + 1),
+                gan_terms[0].loss_type, patch_size=min(cfg.crop_size, 96))
+            self.meta_params["loss_ctx"] = {"disc": self.adv_state.params}
+
         if cfg.model == "dain":
             # DAIN trains on its internal charbonnier regardless of --loss
             # (reference net_forward dain branch, meta_learning_system.py:503-505)
@@ -116,12 +130,15 @@ class SceneAdaptiveInterpolation:
 
             self.loss_fn = dain_loss
         else:
-            self.loss_fn = losses_lib.make_loss_fn(cfg.loss, rng=r_loss)
+            self.loss_fn = losses_lib.make_loss_fn(
+                cfg.loss, rng=r_loss,
+                patch_size=min(cfg.crop_size, 96))
         self.builder = episode_lib.EpisodeBuilder(
             apply_fn=self._apply_fn(), loss_fn=self.loss_fn,
             inner_opt=self.inner_opt,
             denormalize=self.model_def.denormalize,
-            inner_mask=inner_mask)
+            inner_mask=inner_mask,
+            uses_loss_ctx=self.adv_state is not None)
 
         self.tx = make_outer_optimizer(cfg)
         self.opt_state = self.tx.init(self.meta_params)
@@ -169,6 +186,11 @@ class SceneAdaptiveInterpolation:
         if "attenuator" in self.meta_params:
             mask["attenuator"] = jax.tree.map(
                 lambda _: True, self.meta_params["attenuator"])
+        if "loss_ctx" in self.meta_params:
+            # discriminator params are updated by their own optimizer
+            # (AdversarialState), never by the meta optimizer
+            mask["loss_ctx"] = jax.tree.map(
+                lambda _: False, self.meta_params["loss_ctx"])
         return mask
 
     def _episode_spec(self, mode: str, num_steps: int, second_order: bool,
@@ -274,6 +296,18 @@ class SceneAdaptiveInterpolation:
         step = self._get_train_step(spec, do_evaluation)
         self.meta_params, self.opt_state, loss, aux = step(
             self.meta_params, self.opt_state, frames, msl_w)
+        if self.adv_state is not None:
+            # discriminator step on (query preds, targets) — once per outer
+            # iteration
+            qt = self.cfg.target_idxs[1]
+            upd = self.adv_state.jitted_update()
+            d_params, d_opt, d_loss = upd(
+                self.meta_params["loss_ctx"]["disc"], self.adv_state.opt_state,
+                aux["preds"], frames[:, qt],
+                jax.random.PRNGKey(int(epoch) * 100003 + 17))
+            self.adv_state.params = d_params
+            self.adv_state.opt_state = d_opt
+            self.meta_params["loss_ctx"]["disc"] = d_params
         losses = {"loss": float(loss), "total": float(aux["query_loss"])}
         if do_evaluation:
             losses["psnr"] = float(aux["psnr"])

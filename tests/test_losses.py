@@ -88,3 +88,33 @@ def test_adversarial_wgan_gp_penalty_runs():
     fake, real = _imgs(6)
     d_loss = state.update_discriminator(fake, real, jax.random.PRNGKey(2))
     assert np.isfinite(float(d_loss))
+
+
+def test_gan_loss_through_episode_ctx():
+    """GAN generator term threads through the episode via
+    meta_params['loss_ctx'] (traced, not jit-baked)."""
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.core.adversarial import init_discriminator
+    from meta_interpolation_tpu.meta.episode import EpisodeBuilder, EpisodeSpec
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+
+    rs = np.random.RandomState(0)
+    frames = jnp.asarray(rs.rand(7, 48, 48, 3).astype(np.float32))
+
+    def tiny_apply(params, f0, f1):
+        return params["w"] * (f0 + f1) / 2.0
+
+    loss_fn = L.make_loss_fn("1*L1+0.01*GAN", patch_size=48)
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=1)
+    builder = EpisodeBuilder(tiny_apply, loss_fn, opt, uses_loss_ctx=True)
+    disc = init_discriminator(jax.random.PRNGKey(0), patch_size=48)
+    meta = {"net": {"w": jnp.asarray(0.9)},
+            "lrs": opt.init_lrs({"w": jnp.asarray(0.9)}, 1e-3),
+            "loss_ctx": {"disc": disc}}
+    spec = EpisodeSpec(num_steps=1, second_order=False)
+    loss, pred, q = builder.task_episode(meta, frames, jnp.ones((1,)), spec)
+    assert np.isfinite(float(loss))
+    # and the outer grad w.r.t. the net flows through the GAN term
+    g = jax.grad(lambda mp: builder.task_episode(
+        mp, frames, jnp.ones((1,)), spec)[0])(meta)
+    assert np.isfinite(float(g["net"]["w"]))
