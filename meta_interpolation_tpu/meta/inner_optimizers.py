@@ -100,7 +100,10 @@ class InnerOptimizer:
                                  state["exp_avg_sq"], grads)
 
             def upd(w, m, v, lr):
-                denom = jnp.sqrt(v) / jnp.sqrt(bias_c2) + EPS
+                # the tiny shift keeps grad-of-sqrt finite at v=0 (second-
+                # order MAML NaNs otherwise on any zero-gradient leaf);
+                # value change vs the reference math is ≤1e-12 relative
+                denom = jnp.sqrt(v + 1e-24) / jnp.sqrt(bias_c2) + EPS
                 step_size = self._step_lr(lr, step_idx) / bias_c1
                 return w - step_size * m / denom
 

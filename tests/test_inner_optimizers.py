@@ -120,3 +120,26 @@ def test_second_order_gradients_flow_through_sgd():
     g_fo = jax.grad(lambda w: inner_then_outer(w, False))(w0)
     assert np.all(np.isfinite(np.asarray(g_so)))
     assert not np.allclose(np.asarray(g_so), np.asarray(g_fo))
+
+
+def test_second_order_adam_finite_at_zero_grad_leaves():
+    """Second-order gradients through the inner Adam must stay finite even
+    for leaves whose inner gradient is exactly zero (sqrt'(0)=inf without
+    the guard — the classic MAML-Adam NaN)."""
+    opt = InnerOptimizer(rule="Adam", lr_mode="fixed", num_steps=1)
+    x = jnp.asarray([1.0, 2.0])
+
+    def inner_then_outer(w0):
+        params = {"w": w0, "unused": jnp.asarray(3.0)}  # zero inner grad
+        lrs = opt.init_lrs(params, 0.01)
+        state = opt.init_state(params)
+
+        def support_loss(p):
+            return jnp.mean((p["w"] * x) ** 2) + 0.0 * p["unused"]
+
+        grads = jax.grad(support_loss)(params)
+        p1, _ = opt.update(params, grads, lrs, state, 0)
+        return jnp.mean(p1["w"] ** 2) + p1["unused"] ** 2
+
+    g = jax.grad(inner_then_outer)(jnp.asarray([0.5, -0.5]))
+    assert np.all(np.isfinite(np.asarray(g)))
