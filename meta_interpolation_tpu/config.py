@@ -85,6 +85,9 @@ class Config:
     # bounded fast warp for flow models (0 = exact gather; >0 = pixel bound,
     # inference-quality path — see ops/warp.grid_sample_bounded)
     fast_warp_range: int = 0
+    # rematerialize model activations in the inner loop (trade FLOPs for
+    # HBM — lets bigger task batches / more inner steps fit)
+    remat: bool = False
 
     @property
     def num_inner_steps(self) -> int:
@@ -114,7 +117,7 @@ _BOOL_FLAGS = {
     "learnable_per_layer_per_step_inner_loop_learning_rate",
     "enable_inner_loop_optimizable_bn_params", "second_order",
     "use_multi_step_loss_optimization", "attenuate", "metasgd",
-    "use_tensorboard", "viz", "lpips",
+    "use_tensorboard", "viz", "lpips", "remat",
 }
 
 

@@ -172,17 +172,20 @@ class ExperimentBuilder:
 
     # ------------------------------------------------------------------
     def run_experiment(self):
-        if self.cfg.mode == "val":
-            return self.validate(save_images=True)
-        if self.cfg.mode == "test":
-            return self.test()
+        from ..utils.profiling import trace
 
-        for epoch in range(self.start_epoch, self.cfg.max_epoch):
-            train_loss = self.train_epoch(epoch)
-            val_stats = self.validate(epoch,
-                                      total_batches=self.cfg.total_iter_per_epoch)
-            self.system.epoch_end(val_stats["loss"])
-            is_best = val_stats["psnr"] > self.best_psnr
-            self.best_psnr = max(self.best_psnr, val_stats["psnr"])
-            self._save(epoch, is_best)
-        return {"best_psnr": self.best_psnr}
+        with trace(self.cfg.profile_dir):
+            if self.cfg.mode == "val":
+                return self.validate(save_images=True)
+            if self.cfg.mode == "test":
+                return self.test()
+
+            for epoch in range(self.start_epoch, self.cfg.max_epoch):
+                train_loss = self.train_epoch(epoch)
+                val_stats = self.validate(
+                    epoch, total_batches=self.cfg.total_iter_per_epoch)
+                self.system.epoch_end(val_stats["loss"])
+                is_best = val_stats["psnr"] > self.best_psnr
+                self.best_psnr = max(self.best_psnr, val_stats["psnr"])
+                self._save(epoch, is_best)
+            return {"best_psnr": self.best_psnr}

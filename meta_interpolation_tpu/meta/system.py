@@ -156,6 +156,11 @@ class SceneAdaptiveInterpolation:
         def apply(params, f0, f1, **kw):
             return base_apply(params, f0, f1, **{**kwargs, **kw})
 
+        if self.cfg.remat:
+            # rematerialize activations across the inner loop: trades FLOPs
+            # for HBM (jax.checkpoint; SURVEY.md build directive)
+            apply = jax.checkpoint(apply, static_argnums=())
+
         dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
         if dtype == jnp.float32:
             return apply
