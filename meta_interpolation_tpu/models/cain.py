@@ -73,6 +73,12 @@ def _init_residual_group(rng, n_resblocks: int, ch: int, reduction: int) -> Para
 def init(rng: jax.Array, depth: int = 3, n_resgroups: int = 5,
          n_resblocks: int = 12, reduction: int = 16) -> Params:
     ch = 3 * (4 ** depth)
+    if ch // reduction < 1:
+        # a 0-channel CA conv builds silently and SIGFPEs XLA CPU later;
+        # the torch reference fails the same way (weight [0, C, 1, 1])
+        raise ValueError(
+            f"channel attention reduction {reduction} exceeds {ch} channels "
+            f"at depth={depth}; lower --depth or pass a smaller reduction")
     r_head, r_body, r_tail = jax.random.split(rng, 3)
     g_rngs = jax.random.split(r_body, n_resgroups)
     interpolate = {
@@ -90,12 +96,20 @@ def _conv_norm(p: Params, x, k: int = 3):
     return layers.conv2d(p["conv"], x, padding="VALID")
 
 
+def _dense_1x1(p: Params, y):
+    """1x1 conv on a [N,1,1,C] tensor == dense matmul.
+
+    Numerically identical to conv2d but stays a plain (batched) matmul
+    under jax.vmap — the conv batching rule folds the task axis into a
+    grouped conv that XLA's SPMD partitioner mis-shards.
+    """
+    return jnp.einsum("nhwc,co->nhwo", y, p["kernel"][0, 0]) + p["bias"]
+
+
 def _ca_layer(p: Params, x):
     y = layers.global_avg_pool(x)
-    y = layers.conv2d(p["conv_du"]["0"], y, padding="VALID")
-    y = jax.nn.relu(y)
-    y = layers.conv2d(p["conv_du"]["2"], y, padding="VALID")
-    y = jax.nn.sigmoid(y)
+    y = jax.nn.relu(_dense_1x1(p["conv_du"]["0"], y))
+    y = jax.nn.sigmoid(_dense_1x1(p["conv_du"]["2"], y))
     return x * y
 
 

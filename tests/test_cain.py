@@ -43,7 +43,7 @@ def test_pixel_shuffle_matches_torch_ordering():
 
 def test_tiny_cain_forward_shape_and_grad():
     rng = jax.random.PRNGKey(0)
-    p = cain.init(rng, depth=1, n_resgroups=1, n_resblocks=1)
+    p = cain.init(rng, depth=1, n_resgroups=1, n_resblocks=1, reduction=4)
     f0 = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
     f1 = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
 
@@ -62,7 +62,7 @@ def test_tiny_cain_forward_shape_and_grad():
 def test_cain_mean_shift_identity_property():
     """With all-zero conv weights the network output reduces to the average
     of the two input means (the mean-shift trick, cain/model.py:70-94)."""
-    p = cain.init(jax.random.PRNGKey(0), depth=1, n_resgroups=1, n_resblocks=1)
+    p = cain.init(jax.random.PRNGKey(0), depth=1, n_resgroups=1, n_resblocks=1, reduction=4)
     p_zero = jax.tree.map(jnp.zeros_like, p)
     f0 = jnp.full((1, 16, 16, 3), 0.25)
     f1 = jnp.full((1, 16, 16, 3), 0.75)
