@@ -15,7 +15,12 @@ import numpy as np
 
 
 def bench_cain_interp_fps(height=256, width=448, batch=16, iters=12,
-                          warmup=3, dtype="bfloat16"):
+                          warmup=3, dtype="bfloat16", serving=True):
+    """serving=True (default, the headline): pad_multiple=8 + pre-packed
+    scan weights — the TPU serving path (apply docstring: padding beyond
+    the 2**depth the shuffle needs is a torch-era choice whose border
+    reflections carry no information; at 448x256 it wastes 12.5% FLOPs).
+    serving=False: bit-exact reference semantics (pad-to-x128)."""
     import jax
     import jax.numpy as jnp
     from meta_interpolation_tpu.models import cain
@@ -27,9 +32,13 @@ def bench_cain_interp_fps(height=256, width=448, batch=16, iters=12,
     f0 = jnp.asarray(rs.rand(batch, height, width, 3), jdt)
     f1 = jnp.asarray(rs.rand(batch, height, width, 3), jdt)
 
+    packed = cain.pack(params)  # bitwise-neutral (tests pin it); skips
+    pad_multiple = 8 if serving else 128  # per-call weight restacking
+
     @jax.jit
     def step(params, f0, f1):
-        return cain.apply(params, f0, f1)
+        return cain.apply(params, f0, f1, pad_multiple=pad_multiple,
+                          packed_body=packed)
 
     # Timing note: through the axon tunnel block_until_ready can return
     # before execution completes, so we chain iterations through a data
@@ -93,10 +102,19 @@ def main(argv=None):
     if argv and argv[0] == "--hd":
         # HD (1080p) CAIN throughput (BASELINE.md secondary metric)
         fps = bench_cain_interp_fps(height=1088, width=1920, batch=1,
-                                    iters=6)
+                                    iters=6, serving=False)
         print(json.dumps({"metric": "cain_interp_fps_1080p_bf16",
                           "value": round(fps, 2), "unit": "frames/s/chip",
                           "vs_baseline": round(fps, 4)}))
+        return
+    if argv and argv[0] == "--serving":
+        # opt-in serving path: pad_multiple=8 + pre-packed scan weights
+        # (changes conv boundary context vs the reference — see
+        # cain.apply docstring; validate PSNR on a trained checkpoint)
+        fps = bench_cain_interp_fps(serving=True)
+        print(json.dumps({"metric": "cain_interp_fps_448x256_bf16_serving",
+                          "value": round(fps, 2), "unit": "frames/s/chip",
+                          "vs_baseline": round(fps / 1000.0, 4)}))
         return
     if argv and argv[0] == "--model":
         name = argv[1]
@@ -108,7 +126,7 @@ def main(argv=None):
                           "vs_baseline": round(fps / 1000.0, 4)}))
         return
 
-    fps = bench_cain_interp_fps()
+    fps = bench_cain_interp_fps(serving=False)  # bit-exact reference semantics
     target = 1000.0  # BASELINE.md north star, fps/chip @ 448x256
     print(json.dumps({
         "metric": "cain_interp_fps_448x256_bf16",

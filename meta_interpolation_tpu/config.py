@@ -88,6 +88,12 @@ class Config:
     # rematerialize model activations in the inner loop (trade FLOPs for
     # HBM — lets bigger task batches / more inner steps fit)
     remat: bool = False
+    # CAIN input padding granularity. 128 = reference-exact
+    # (model_utils.py:17-28); the architecture only needs 2**depth, so 8
+    # skips all padding when H,W are /8-divisible (448x256: -12.5% FLOPs).
+    # Changes conv boundary context vs the reference — validate PSNR on
+    # your checkpoint before serving with it.
+    pad_multiple: int = 128
 
     @property
     def num_inner_steps(self) -> int:

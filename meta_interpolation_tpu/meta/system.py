@@ -81,7 +81,8 @@ class SceneAdaptiveInterpolation:
         self.model_kwargs = {}
         if cfg.model == "cain":
             self.model_kwargs = {"depth": cfg.depth,
-                                 "n_resblocks": cfg.n_resblocks}
+                                 "n_resblocks": cfg.n_resblocks,
+                                 "pad_multiple": cfg.pad_multiple}
         if cfg.model in ("rrin", "superslomo", "voxelflow") and \
                 cfg.fast_warp_range > 0:
             self.model_kwargs["warp_range"] = cfg.fast_warp_range

@@ -83,3 +83,23 @@ def test_param_count_matches_reference_cain():
     p = cain.init(jax.random.PRNGKey(0))
     n = sum(x.size for x in jax.tree.leaves(p))
     assert n == 42_780_432, n
+
+
+def test_cain_packed_body_and_pad_multiple():
+    """pack() + packed_body must be bitwise-identical to per-call stacking,
+    and pad_multiple=8 on /8-divisible inputs must skip padding entirely."""
+    mk = dict(depth=1, n_resgroups=2, n_resblocks=2)
+    p = cain.init(jax.random.PRNGKey(3), reduction=4, **mk)
+    f0 = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 24, 3))
+    f1 = jax.random.uniform(jax.random.PRNGKey(5), (1, 16, 24, 3))
+
+    base = cain.apply(p, f0, f1, pad_multiple=8, **mk)
+    assert base.shape == (1, 16, 24, 3)
+
+    packed = cain.pack(p, n_resgroups=2, n_resblocks=2)
+    viapack = cain.apply(p, f0, f1, pad_multiple=8, packed_body=packed, **mk)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(viapack))
+
+    # pad_multiple=128 changes boundary context -> different output
+    padded = cain.apply(p, f0, f1, pad_multiple=128, **mk)
+    assert float(jnp.abs(padded - base).max()) > 0
