@@ -287,7 +287,9 @@ class SceneAdaptiveInterpolation:
         if self.mesh is None:
             return frames
         from ..parallel import mesh as mesh_lib
-        return mesh_lib.shard_task_batch(self.mesh, frames)
+        # multi-host aware: each process contributes its local slice of the
+        # global batch (single-process this is plain shard_task_batch)
+        return mesh_lib.shard_task_batch_multihost(self.mesh, frames)
 
     def run_train_iter(self, frames, epoch: int, do_evaluation: bool = False):
         """One outer-loop update. frames: (B, T, H, W, C) numpy/jnp in model

@@ -68,3 +68,23 @@ def replicate_params(mesh: Mesh, params):
     devices; XLA all-reduces the outer grads automatically)."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+
+
+def shard_task_batch_multihost(mesh: Mesh, local_frames,
+                               global_batch: Optional[int] = None):
+    """Multi-host batch placement over DCN (SURVEY.md §2.5).
+
+    Each host's data loader produces only its *local* slice of the global
+    task batch (``global_batch // jax.process_count()`` tasks); this
+    assembles the global sharded array without any cross-host gather —
+    each host's shards are backed by its local data, and the episode's
+    outer-grad psum is the only cross-host (DCN/ICI) communication.
+    Single-process (local == global) it reduces to :func:`shard_task_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_task_batch(mesh, local_frames)
+    gb = (global_batch if global_batch is not None
+          else local_frames.shape[0] * jax.process_count())
+    global_shape = (gb,) + tuple(local_frames.shape[1:])
+    return jax.make_array_from_process_local_data(
+        task_sharding(mesh), np.asarray(local_frames), global_shape)

@@ -120,3 +120,17 @@ def test_spatial_sharded_conv_matches_dense():
     np.testing.assert_allclose(np.asarray(out)[:, halo:-halo],
                                np.asarray(dense)[:, halo:-halo],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_shard_task_batch_multihost_single_process():
+    """Single-process reduction of the multi-host loader path: placement
+    and values must match plain shard_task_batch."""
+    import numpy as np
+    from meta_interpolation_tpu.parallel import mesh as mesh_lib
+
+    m = mesh_lib.make_mesh("8")
+    x = np.random.RandomState(0).rand(8, 2, 4, 4, 3).astype("float32")
+    arr = mesh_lib.shard_task_batch_multihost(m, x)
+    assert arr.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert len(arr.sharding.device_set) == 8
