@@ -96,6 +96,44 @@ def bench_model_fps(model_name: str, height=256, width=448, batch=4,
     return batch * iters / max(t2n - tn, 1e-9)
 
 
+def bench_train_tasks_per_s(batch=4, crop=256, iters=6, warmup=2):
+    """Meta-training throughput: full-size CAIN episodes (tasks/s/chip).
+
+    run_cain.sh preset: Adam outer, Meta-SGD inner LRs, 1 inner step,
+    first order. Drives the system's jitted train step directly with a
+    param-chained loop (marginal timing, no host sync inside the run).
+    """
+    import jax
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    cfg = Config(model="cain", batch_size=batch, crop_size=crop,
+                 metasgd=True, optimizer="Adam", loss="1*L1",
+                 number_of_training_steps_per_iter=1, second_order=False,
+                 dtype="bfloat16")
+    system = SceneAdaptiveInterpolation(cfg)
+    spec = system._episode_spec("train", 1, False, False)
+    step = system._get_train_step(spec, False)
+    rs = np.random.RandomState(0)
+    frames = system._shard_batch(jnp.asarray(
+        rs.rand(batch, 7, crop, crop, 3), jnp.float32))
+    msl_w = jnp.ones((2,)) / 2.0
+
+    def run(n):
+        mp, opt = system.meta_params, system.opt_state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            mp, opt, loss, _aux = step(mp, opt, frames, msl_w)
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    run(warmup)
+    tn = run(iters)
+    t2n = run(2 * iters)
+    return batch * iters / max(t2n - tn, 1e-9)
+
+
 def main(argv=None):
     import sys
     argv = argv if argv is not None else sys.argv[1:]
@@ -115,6 +153,12 @@ def main(argv=None):
         print(json.dumps({"metric": "cain_interp_fps_448x256_bf16_serving",
                           "value": round(fps, 2), "unit": "frames/s/chip",
                           "vs_baseline": round(fps / 1000.0, 4)}))
+        return
+    if argv and argv[0] == "--train":
+        tps = bench_train_tasks_per_s()
+        print(json.dumps({"metric": "cain_meta_train_tasks_per_s_256",
+                          "value": round(tps, 2), "unit": "tasks/s/chip",
+                          "vs_baseline": round(tps, 4)}))
         return
     if argv and argv[0] == "--model":
         name = argv[1]

@@ -103,7 +103,8 @@ def _dense_1x1(p: Params, y):
     under jax.vmap — the conv batching rule folds the task axis into a
     grouped conv that XLA's SPMD partitioner mis-shards.
     """
-    return jnp.einsum("nhwc,co->nhwo", y, p["kernel"][0, 0]) + p["bias"]
+    w = p["kernel"][0, 0].astype(y.dtype)  # mixed-precision: follow conv2d
+    return jnp.einsum("nhwc,co->nhwo", y, w) + p["bias"].astype(y.dtype)
 
 
 def _ca_layer(p: Params, x):

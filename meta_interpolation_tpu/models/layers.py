@@ -68,15 +68,15 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     kernel = p["kernel"].astype(x.dtype)
+    # no preferred_element_type: the TPU MXU accumulates bf16 dots in f32
+    # internally either way, and an f32-out + downcast pair breaks the
+    # conv transpose rule's dtype agreement under jax.grad
     out = jax.lax.conv_general_dilated(
         x, kernel, (stride, stride), padding,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
     )
-    if out.dtype != x.dtype:
-        out = out.astype(x.dtype)
     if "bias" in p:
         out = out + p["bias"].astype(out.dtype)
     return out

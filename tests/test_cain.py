@@ -103,3 +103,15 @@ def test_cain_packed_body_and_pad_multiple():
     # pad_multiple=128 changes boundary context -> different output
     padded = cain.apply(p, f0, f1, pad_multiple=128, **mk)
     assert float(jnp.abs(padded - base).max()) > 0
+
+
+def test_cain_mixed_precision_apply():
+    """bf16 activations with f32 params (the training system's --dtype
+    bfloat16 path) must keep a stable scan carry dtype."""
+    mk = dict(depth=1, n_resgroups=1, n_resblocks=1)
+    p = cain.init(jax.random.PRNGKey(0), reduction=4, **mk)  # f32 params
+    f0 = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3),
+                            dtype=jnp.float32).astype(jnp.bfloat16)
+    out = cain.apply(p, f0, f0, **mk)
+    assert out.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
