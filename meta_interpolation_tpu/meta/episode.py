@@ -172,8 +172,7 @@ class EpisodeBuilder:
         q0, qt, q1 = spec.target_idxs
         opt_state = self.inner_opt.init_state(net_params)
 
-        def body(carry, step_idx):
-            params, opt_state = carry
+        def one_step(params, opt_state, step_idx):
             # First order: block tangents at the *input* of the inner grad
             # (not just its output) so the outer linearization never enters
             # the gradient computation — required for ops whose custom-VJP
@@ -194,10 +193,29 @@ class EpisodeBuilder:
                                             frames[qt], loss_ctx)
             else:
                 q_loss = jnp.zeros(())
-            return (params, opt_state), q_loss
+            return params, opt_state, q_loss
 
-        (net_params, _), step_losses = jax.lax.scan(
-            body, (net_params, opt_state), jnp.arange(spec.num_steps))
+        # Step 0 is peeled out of the scan: at that point the params are
+        # still the (per-task-identical) meta init, so under the episode
+        # vmap they stay unbatched and the support grad runs as dense
+        # convs. Inside a scan the carry is batched for every iteration,
+        # which turns all model convs into per-task grouped convs —
+        # measured 2.7x slower on TPU. Later steps use genuinely per-task
+        # weights, so they stay in the scan. (With L2F attenuation the
+        # init is already per-task and the peel is math-neutral.)
+        net_params, opt_state, q_loss0 = one_step(net_params, opt_state, 0)
+        if spec.num_steps > 1:
+            def body(carry, step_idx):
+                p, o = carry
+                p, o, ql = one_step(p, o, step_idx)
+                return (p, o), ql
+
+            (net_params, _), rest = jax.lax.scan(
+                body, (net_params, opt_state),
+                jnp.arange(1, spec.num_steps))
+            step_losses = jnp.concatenate([q_loss0[None], rest])
+        else:
+            step_losses = q_loss0[None]
         return net_params, step_losses
 
     def task_episode(self, meta_params: PyTree, frames: jnp.ndarray,
