@@ -143,8 +143,9 @@ class EpisodeBuilder:
     def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec,
                    loss_ctx=None):
         """Scale the init per-leaf by gamma (reference :231-272)."""
-        grads = jax.grad(lambda p: self._support_loss(
-            p, frames, spec, loss_ctx))(net_params)
+        with L.episode_fast_conv(False):
+            grads = jax.grad(lambda p: self._support_loss(
+                p, frames, spec, loss_ctx))(net_params)
         grads = jax.lax.stop_gradient(grads)  # create_graph=False (:246-247)
         leaves = jax.tree.leaves(grads)
         emb = jnp.stack([jnp.mean(g) for g in leaves])
@@ -180,9 +181,10 @@ class EpisodeBuilder:
             # semantically identical to the reference's create_graph=False.
             grad_src = params if spec.second_order else jax.tree.map(
                 jax.lax.stop_gradient, params)
-            grads = jax.grad(
-                lambda p: self._support_loss(p, frames, spec,
-                                             loss_ctx))(grad_src)
+            with L.episode_fast_conv(False):
+                grads = jax.grad(
+                    lambda p: self._support_loss(p, frames, spec,
+                                                 loss_ctx))(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
             grads = self._masked(grads)
@@ -263,7 +265,12 @@ class EpisodeBuilder:
             return self.task_episode(meta_params, task_frames, msl_weights,
                                      spec, training=training)
 
-        outer_losses, preds, q_losses = jax.vmap(one)(frames)
+        # Fast batched-weight convs are valid here: every model apply in the
+        # episode sits under this vmap, so grad-of-vmap expands the
+        # custom_vmap rules before any linearization. Inner-gradient lambdas
+        # (vmap-of-grad, which custom_vmap cannot linearize) re-disable it.
+        with L.episode_fast_conv(True):
+            outer_losses, preds, q_losses = jax.vmap(one)(frames)
         mean_loss = jnp.mean(outer_losses)
         aux: Dict[str, Any] = {"preds": preds,
                                "query_loss": jnp.mean(q_losses)}
@@ -296,4 +303,5 @@ class EpisodeBuilder:
             pred = out[0] if isinstance(out, tuple) else out
             return jax.lax.stop_gradient(pred[0])
 
-        return jax.vmap(one)(frames)
+        with L.episode_fast_conv(True):
+            return jax.vmap(one)(frames)

@@ -61,6 +61,72 @@ def linear_init(rng: jax.Array, in_f: int, out_f: int, bias: bool = True) -> Par
 # Core ops
 # ---------------------------------------------------------------------------
 
+# --- episode-fast batched-weight convs --------------------------------------
+#
+# Under the episode vmap, per-task adapted weights turn every conv into an
+# XLA feature-grouped conv, measured ~7x slower than dense on TPU v5e. A
+# jax.custom_vmap rule rewrites the (both-operands-batched) case as 9
+# tap-wise batched einsums, which run near dense-conv speed.
+#
+# jax.custom_vmap functions only become reverse-differentiable AFTER a vmap
+# has expanded them (grad-of-vmap works; vmap-of-grad and plain grad fail
+# with "Linearization failed"), so this path is OFF by default and enabled
+# by the episode builder exactly around the vmapped episode trace, with
+# inner-gradient lambdas re-disabling it (see meta/episode.py).
+
+_EPISODE_FAST_CONV = [False]  # trace-time switch, single-threaded tracing
+FAST_BATCHED_CONV_ENABLED = True  # global kill switch (tests / debugging)
+
+
+class episode_fast_conv:
+    """Context manager toggling the batched-weight fast-conv trace path."""
+
+    def __init__(self, enable: bool = True):
+        self.enable = enable
+
+    def __enter__(self):
+        self.prev = _EPISODE_FAST_CONV[0]
+        _EPISODE_FAST_CONV[0] = self.enable and FAST_BATCHED_CONV_ENABLED
+
+    def __exit__(self, *exc):
+        _EPISODE_FAST_CONV[0] = self.prev
+
+
+def _conv3x3_valid_raw(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_batching.custom_vmap
+def _conv3x3_valid(x, kernel):
+    return _conv3x3_valid_raw(x, kernel)
+
+
+@_conv3x3_valid.def_vmap
+def _conv3x3_valid_vmap(axis_size, in_batched, x, kernel):
+    x_b, k_b = in_batched
+    if x_b and k_b:
+        # per-task weights: 9 tap-wise batched matmuls (near dense speed;
+        # the conv batching rule's grouped conv is ~7x slower on TPU)
+        ho, wo = x.shape[2] - 2, x.shape[3] - 2
+        out = 0.0
+        for dy in range(3):
+            for dx in range(3):
+                sl = x[:, :, dy:dy + ho, dx:dx + wo, :]
+                out = out + jnp.einsum(
+                    "tbhwc,tco->tbhwo", sl, kernel[:, dy, dx],
+                    preferred_element_type=jnp.float32)
+        return out.astype(x.dtype), True
+    if x_b and not k_b:
+        t, b = x.shape[0], x.shape[1]
+        o = _conv3x3_valid_raw(x.reshape((t * b,) + x.shape[2:]), kernel)
+        return o.reshape((t, b) + o.shape[1:]), True
+    # kernel batched, x shared: broadcast x into the task axis
+    xb = jnp.broadcast_to(x, (axis_size,) + x.shape)
+    return _conv3x3_valid_vmap(axis_size, (True, True), xb, kernel)
+
+
 def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
            padding="SAME", dilation: int = 1,
            groups: int = 1) -> jnp.ndarray:
@@ -68,15 +134,22 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     kernel = p["kernel"].astype(x.dtype)
-    # no preferred_element_type: the TPU MXU accumulates bf16 dots in f32
-    # internally either way, and an f32-out + downcast pair breaks the
-    # conv transpose rule's dtype agreement under jax.grad
-    out = jax.lax.conv_general_dilated(
-        x, kernel, (stride, stride), padding,
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-    )
+    if (_EPISODE_FAST_CONV[0] and kernel.ndim == 4 and kernel.shape[0] == 3
+            and kernel.shape[1] == 3 and stride == 1 and dilation == 1
+            and groups == 1 and padding == "VALID"):
+        # episode trace: route through the custom-vmap conv so per-task
+        # adapted weights avoid XLA's grouped-conv lowering
+        out = _conv3x3_valid(x, kernel)
+    else:
+        # no preferred_element_type: the TPU MXU accumulates bf16 dots in
+        # f32 internally either way, and an f32-out + downcast pair breaks
+        # the conv transpose rule's dtype agreement under jax.grad
+        out = jax.lax.conv_general_dilated(
+            x, kernel, (stride, stride), padding,
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
     if "bias" in p:
         out = out + p["bias"].astype(out.dtype)
     return out

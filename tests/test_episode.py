@@ -159,3 +159,42 @@ def test_inner_mask_freezes_leaves():
     adapted, _ = builder.adapt(params, lrs, frames, spec)
     np.testing.assert_allclose(float(adapted["w"]), 0.8, rtol=1e-7)
     assert abs(float(adapted["b"]) - 0.1) > 1e-6
+
+
+def test_fast_batched_conv_matches_grouped():
+    """The episode's custom-vmap tap-einsum conv path must match the plain
+    grouped-conv lowering: same episode loss and same outer gradients."""
+    from meta_interpolation_tpu.models import cain, layers as L
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+    from meta_interpolation_tpu.meta.episode import EpisodeBuilder, EpisodeSpec
+    from meta_interpolation_tpu.core.losses import make_loss_fn
+
+    mk = dict(depth=1, n_resgroups=1, n_resblocks=2)
+    net = cain.init(jax.random.PRNGKey(0), reduction=4, **mk)
+    opt = InnerOptimizer(rule="Adam", lr_mode="metasgd", num_steps=2)
+    mp = {"net": net, "lrs": opt.init_lrs(net, 1e-4)}
+    builder = EpisodeBuilder(
+        apply_fn=lambda p, a, b: cain.apply(p, a, b, pad_multiple=8, **mk),
+        loss_fn=make_loss_fn("1*L1"), inner_opt=opt)
+    spec = EpisodeSpec(num_steps=2, second_order=False, use_msl=True)
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (3, 7, 16, 16, 3))
+    msl_w = jnp.asarray([0.4, 0.6])
+
+    def run():
+        def outer(mp):
+            loss, _ = builder.batched_episode(mp, frames, msl_w, spec,
+                                              training=True)
+            return loss
+        return jax.value_and_grad(outer)(mp)
+
+    l_fast, g_fast = run()
+    try:
+        L.FAST_BATCHED_CONV_ENABLED = False
+        l_slow, g_slow = run()
+    finally:
+        L.FAST_BATCHED_CONV_ENABLED = True
+
+    np.testing.assert_allclose(float(l_fast), float(l_slow), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_slow)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-7)
