@@ -92,39 +92,49 @@ class episode_fast_conv:
         _EPISODE_FAST_CONV[0] = self.prev
 
 
-def _conv3x3_valid_raw(x, kernel):
+def _conv3x3_raw(x, kernel, pad: int):
     return jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), "VALID",
+        x, kernel, (1, 1), ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-@jax.custom_batching.custom_vmap
-def _conv3x3_valid(x, kernel):
-    return _conv3x3_valid_raw(x, kernel)
+def _make_fast_conv3x3(pad: int):
+    @jax.custom_batching.custom_vmap
+    def conv(x, kernel):
+        return _conv3x3_raw(x, kernel, pad)
+
+    @conv.def_vmap
+    def rule(axis_size, in_batched, x, kernel):
+        x_b, k_b = in_batched
+        if x_b and k_b:
+            # per-task weights: 9 tap-wise batched matmuls (near dense
+            # speed; the conv batching rule's grouped conv is ~7x slower
+            # on TPU)
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad),
+                                (0, 0)))
+            ho, wo = x.shape[2] - 2, x.shape[3] - 2
+            out = 0.0
+            for dy in range(3):
+                for dx in range(3):
+                    sl = x[:, :, dy:dy + ho, dx:dx + wo, :]
+                    out = out + jnp.einsum(
+                        "tbhwc,tco->tbhwo", sl, kernel[:, dy, dx],
+                        preferred_element_type=jnp.float32)
+            return out.astype(x.dtype), True
+        if x_b and not k_b:
+            t, b = x.shape[0], x.shape[1]
+            o = _conv3x3_raw(x.reshape((t * b,) + x.shape[2:]), kernel, pad)
+            return o.reshape((t, b) + o.shape[1:]), True
+        # kernel batched, x shared: broadcast x into the task axis
+        xb = jnp.broadcast_to(x, (axis_size,) + x.shape)
+        return rule(axis_size, (True, True), xb, kernel)
+
+    return conv
 
 
-@_conv3x3_valid.def_vmap
-def _conv3x3_valid_vmap(axis_size, in_batched, x, kernel):
-    x_b, k_b = in_batched
-    if x_b and k_b:
-        # per-task weights: 9 tap-wise batched matmuls (near dense speed;
-        # the conv batching rule's grouped conv is ~7x slower on TPU)
-        ho, wo = x.shape[2] - 2, x.shape[3] - 2
-        out = 0.0
-        for dy in range(3):
-            for dx in range(3):
-                sl = x[:, :, dy:dy + ho, dx:dx + wo, :]
-                out = out + jnp.einsum(
-                    "tbhwc,tco->tbhwo", sl, kernel[:, dy, dx],
-                    preferred_element_type=jnp.float32)
-        return out.astype(x.dtype), True
-    if x_b and not k_b:
-        t, b = x.shape[0], x.shape[1]
-        o = _conv3x3_valid_raw(x.reshape((t * b,) + x.shape[2:]), kernel)
-        return o.reshape((t, b) + o.shape[1:]), True
-    # kernel batched, x shared: broadcast x into the task axis
-    xb = jnp.broadcast_to(x, (axis_size,) + x.shape)
-    return _conv3x3_valid_vmap(axis_size, (True, True), xb, kernel)
+_conv3x3_valid = _make_fast_conv3x3(0)
+_conv3x3_same = _make_fast_conv3x3(1)
 
 
 def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
@@ -136,10 +146,11 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
     kernel = p["kernel"].astype(x.dtype)
     if (_EPISODE_FAST_CONV[0] and kernel.ndim == 4 and kernel.shape[0] == 3
             and kernel.shape[1] == 3 and stride == 1 and dilation == 1
-            and groups == 1 and padding == "VALID"):
+            and groups == 1 and padding in ("VALID", "SAME", ((1, 1), (1, 1)))):
         # episode trace: route through the custom-vmap conv so per-task
         # adapted weights avoid XLA's grouped-conv lowering
-        out = _conv3x3_valid(x, kernel)
+        fast = _conv3x3_valid if padding == "VALID" else _conv3x3_same
+        out = fast(x, kernel)
     else:
         # no preferred_element_type: the TPU MXU accumulates bf16 dots in
         # f32 internally either way, and an f32-out + downcast pair breaks

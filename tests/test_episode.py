@@ -198,3 +198,26 @@ def test_fast_batched_conv_matches_grouped():
     for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_slow)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-7)
+
+
+def test_fast_batched_conv_same_padding():
+    """SAME-padding variant of the fast batched-weight conv (flow-model
+    UNets): grad-of-vmap equivalence vs the grouped lowering."""
+    from meta_interpolation_tpu.models import layers as L
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 2, 8, 8, 4))
+    w = {"kernel": jax.random.uniform(rng, (3, 3, 3, 4, 4)) * 0.2,
+         "bias": jnp.zeros((3, 4))}
+
+    def net(w, x):
+        return jnp.abs(jax.vmap(
+            lambda wi, xi: L.conv2d(wi, xi, padding="SAME"))(w, x)).sum()
+
+    with L.episode_fast_conv(True):
+        l_fast, g_fast = jax.value_and_grad(net)(w, x)
+    l_raw, g_raw = jax.value_and_grad(net)(w, x)
+    np.testing.assert_allclose(float(l_fast), float(l_raw), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_raw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
