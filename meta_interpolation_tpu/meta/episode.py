@@ -143,9 +143,9 @@ class EpisodeBuilder:
     def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec,
                    loss_ctx=None):
         """Scale the init per-leaf by gamma (reference :231-272)."""
-        with L.episode_fast_conv(False):
-            grads = jax.grad(lambda p: self._support_loss(
-                p, frames, spec, loss_ctx))(net_params)
+        # always first-order (create_graph=False below) — fast convs OK
+        grads = jax.grad(lambda p: self._support_loss(
+            p, frames, spec, loss_ctx))(net_params)
         grads = jax.lax.stop_gradient(grads)  # create_graph=False (:246-247)
         leaves = jax.tree.leaves(grads)
         emb = jnp.stack([jnp.mean(g) for g in leaves])
@@ -181,7 +181,12 @@ class EpisodeBuilder:
             # semantically identical to the reference's create_graph=False.
             grad_src = params if spec.second_order else jax.tree.map(
                 jax.lax.stop_gradient, params)
-            with L.episode_fast_conv(False):
+            # First order: the fast conv's custom_vjp makes this inner grad
+            # vmappable, so per-task support grads also run as tap einsums.
+            # Second order must differentiate THROUGH this gradient, and
+            # the fast conv's hand-written bwd is not itself differentiable
+            # under vmap — fall back to plain convs.
+            with L.episode_fast_conv(not spec.second_order):
                 grads = jax.grad(
                     lambda p: self._support_loss(p, frames, spec,
                                                  loss_ctx))(grad_src)

@@ -135,6 +135,53 @@ def _make_fast_conv3x3(pad: int):
 
 _conv3x3_valid = _make_fast_conv3x3(0)
 _conv3x3_same = _make_fast_conv3x3(1)
+_conv3x3_full = _make_fast_conv3x3(2)
+
+
+def _weight_grad_3x3(x, ct, pad: int):
+    """d(conv3x3(x, W))/dW as 9 tap einsums — vmaps to batched einsums
+    natively (no grouped-conv lowering), so it needs no custom rule."""
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    ho, wo = ct.shape[1], ct.shape[2]
+    taps = [[jnp.einsum("nhwc,nhwo->co", x[:, dy:dy + ho, dx:dx + wo, :], ct,
+                        preferred_element_type=jnp.float32)
+             for dx in range(3)] for dy in range(3)]
+    return jnp.stack([jnp.stack(r) for r in taps]).astype(x.dtype)
+
+
+def _make_fast_conv3x3_ad(pad: int):
+    """custom_vjp wrapper whose fwd/bwd are built from the custom_vmap
+    convs. custom_vmap alone cannot be linearized (vmap-of-grad fails);
+    with the VJP supplied explicitly, jax.grad inside the episode vmap
+    simply vmaps fwd and bwd, where the custom_vmap rules apply. The bwd
+    itself is NOT differentiable under vmap — second-order episodes keep
+    the fast path disabled (meta/episode.py)."""
+    inner = _conv3x3_valid if pad == 0 else _conv3x3_same
+
+    @jax.custom_vjp
+    def conv(x, kernel):
+        return inner(x, kernel)
+
+    def fwd(x, kernel):
+        return inner(x, kernel), (x, kernel)
+
+    def bwd(res, ct):
+        x, kernel = res
+        ct = ct.astype(x.dtype)
+        w_t = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+        # input grad: full correlation with the rotated kernel
+        dx_conv = _conv3x3_full if pad == 0 else _conv3x3_same
+        dx = dx_conv(ct, w_t)
+        dw = _weight_grad_3x3(x, ct, pad)
+        return dx, dw
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+_conv3x3_valid_ad = _make_fast_conv3x3_ad(0)
+_conv3x3_same_ad = _make_fast_conv3x3_ad(1)
 
 
 def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
@@ -149,7 +196,7 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
             and groups == 1 and padding in ("VALID", "SAME", ((1, 1), (1, 1)))):
         # episode trace: route through the custom-vmap conv so per-task
         # adapted weights avoid XLA's grouped-conv lowering
-        fast = _conv3x3_valid if padding == "VALID" else _conv3x3_same
+        fast = _conv3x3_valid_ad if padding == "VALID" else _conv3x3_same_ad
         out = fast(x, kernel)
     else:
         # no preferred_element_type: the TPU MXU accumulates bf16 dots in
