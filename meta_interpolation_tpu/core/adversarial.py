@@ -46,7 +46,15 @@ def init_discriminator(rng: jax.Array, patch_size: int = 96) -> Params:
             "conv": layers.conv_init(rngs[i], ic, oc, 3, bias=False),
             "bn": layers.batch_norm_init(oc),
         }
-    feat_patch = patch_size // (2 ** 4)
+    # The reference sizes its classifier with floor division
+    # (loss.py:117 `patch_size // 2**((depth+1)//2)`), but its stride-2
+    # pad-1 convs produce ceil(in/2) per stage — the two only agree when
+    # patch_size is a multiple of 16 (the reference always runs 96).
+    # Mirror the conv arithmetic so any patch size works.
+    feat_patch = patch_size
+    for _ic, _oc, s in _CHANNELS:
+        if s == 2:
+            feat_patch = (feat_patch - 1) // 2 + 1
     flat = _CHANNELS[-1][1] * feat_patch * feat_patch
     params["classifier"] = {
         "0": layers.linear_init(rngs[-2], flat, 1024),
@@ -65,17 +73,25 @@ def _batch_bn(x, p):
 
 def discriminator_apply(params: Params, x: jnp.ndarray,
                         patch_size: int = 96) -> jnp.ndarray:
-    """x: (N,H,W,3) → (N,1) logits; center-crops to patch_size (:126-131)."""
+    """x: (N,H,W,3) → (N,1) logits; center-crops to patch_size (:126-131).
+
+    Pinned to plain convs: discriminator weights are shared across tasks
+    (never per-task batched), so the episode's batched-weight fast-conv
+    path buys nothing here — and when loss_ctx tangents flow into the
+    inner-gradient region of an *un-vmapped* episode, the fast conv's
+    custom_vmap cannot be linearized.
+    """
     h, w = x.shape[1], x.shape[2]
     if h != patch_size or w != patch_size:
         mh, mw = h // 2, w // 2
         p = patch_size // 2
         x = x[:, mh - p:mh - p + patch_size, mw - p:mw - p + patch_size, :]
-    for i, (_ic, _oc, s) in enumerate(_CHANNELS):
-        blk = params["features"][str(i)]
-        x = layers.conv2d(blk["conv"], x, stride=s, padding=1)
-        x = _batch_bn(x, blk["bn"])
-        x = layers.leaky_relu(x, 0.2)
+    with layers.episode_fast_conv(False):
+        for i, (_ic, _oc, s) in enumerate(_CHANNELS):
+            blk = params["features"][str(i)]
+            x = layers.conv2d(blk["conv"], x, stride=s, padding=1)
+            x = _batch_bn(x, blk["bn"])
+            x = layers.leaky_relu(x, 0.2)
     x = x.reshape(x.shape[0], -1)
     x = layers.leaky_relu(layers.linear(params["classifier"]["0"], x), 0.2)
     return layers.linear(params["classifier"]["2"], x)

@@ -143,9 +143,15 @@ class EpisodeBuilder:
     def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec,
                    loss_ctx=None):
         """Scale the init per-leaf by gamma (reference :231-272)."""
-        # always first-order (create_graph=False below) — fast convs OK
+        # always first-order (create_graph=False below): block tangents at
+        # the inputs (net params AND loss_ctx), not just the grad output,
+        # so the outer linearization never enters this gradient — required
+        # for ops with non-differentiable custom-VJP backwards (pallas
+        # sepconv); see one_step
+        ctx_src = jax.tree.map(jax.lax.stop_gradient, loss_ctx)
+        grad_src = jax.tree.map(jax.lax.stop_gradient, net_params)
         grads = jax.grad(lambda p: self._support_loss(
-            p, frames, spec, loss_ctx))(net_params)
+            p, frames, spec, ctx_src))(grad_src)
         grads = jax.lax.stop_gradient(grads)  # create_graph=False (:246-247)
         leaves = jax.tree.leaves(grads)
         emb = jnp.stack([jnp.mean(g) for g in leaves])
@@ -181,6 +187,14 @@ class EpisodeBuilder:
             # semantically identical to the reference's create_graph=False.
             grad_src = params if spec.second_order else jax.tree.map(
                 jax.lax.stop_gradient, params)
+            # loss_ctx (e.g. GAN discriminator params) is a *constant*
+            # during adaptation — its update is a separate jitted step
+            # (core/adversarial.py), never through the inner loop. Block
+            # its tangents here too, else the outer linearization has to
+            # differentiate through this gradient w.r.t. the ctx, which
+            # ops with non-differentiable custom-VJP backwards (pallas
+            # sepconv) cannot do.
+            ctx_src = jax.tree.map(jax.lax.stop_gradient, loss_ctx)
             # First order: the fast conv's custom_vjp makes this inner grad
             # vmappable, so per-task support grads also run as tap einsums.
             # Second order must differentiate THROUGH this gradient, and
@@ -189,7 +203,7 @@ class EpisodeBuilder:
             with L.episode_fast_conv(not spec.second_order):
                 grads = jax.grad(
                     lambda p: self._support_loss(p, frames, spec,
-                                                 loss_ctx))(grad_src)
+                                                 ctx_src))(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
             grads = self._masked(grads)

@@ -81,8 +81,16 @@ def _fwd_kernel(inp_ref, kv_ref, kh_ref, out_ref, *, f, ht, w, wpad, c):
     Tap windows are produced by ``pltpu.roll`` + offset-0 slices: Mosaic
     lowers rolls to cheap rotates, whereas unaligned static slices generate
     per-tap relayout copies that spill registers (measured: 229 MB of spill
-    slots for the F²-unrolled slice form). Accumulation is in-place on the
-    output ref so no temporary outlives its statement.
+    slots for the F²-unrolled slice form).
+
+    Loop structure exploits the rank-1 (vertical ⊗ horizontal) factorization:
+    the outer k-loop (fori) does ONE row-roll of the halo'd block (F rolls
+    total instead of F²), the inner l-loop is python-unrolled so all F
+    column shifts are *static immediates* — a dynamic lane-rotate lowers to
+    a log-step select chain, and switching the inner shifts to immediates
+    measured 3.5× on the whole op (9.3 → 2.7 ms at 384×512×3). kv[k]
+    multiplies once per k (saves the per-tap (ht,w) kv·kh product too).
+    Fully unrolling k as well spills 97 MB of live rows — fori it stays.
     """
     import jax.lax as lax
     from jax.experimental.pallas import tpu as pltpu
@@ -91,16 +99,17 @@ def _fwd_kernel(inp_ref, kv_ref, kh_ref, out_ref, *, f, ht, w, wpad, c):
     n_rows = blk.shape[1]
     n_cols = blk.shape[2]
 
-    def body(i, acc):
-        k = i // f
-        l = i % f
-        # roll shift is non-negative: shift by (n−k) moves content up by k,
-        # so [:ht] / [:w] are rows k.. / cols l.. (dynamic_rotate)
+    def body_k(k, acc):
+        # dynamic rotate: shift by (n−k) moves content up by k, so [:ht]
+        # are rows k..
         rows = pltpu.roll(blk, (n_rows - k) % n_rows, 1)[:, :ht, :]
-        win = pltpu.roll(rows, (n_cols - l) % n_cols, 2)[:, :, :w]
-        return acc + win * (kv_ref[0, k] * kh_ref[0, l])[None]
+        acc_h = rows[:, :, :w] * kh_ref[0, 0][None]
+        for l in range(1, f):
+            win = pltpu.roll(rows, n_cols - l, 2)[:, :, :w]
+            acc_h = acc_h + win * kh_ref[0, l][None]
+        return acc + acc_h * kv_ref[0, k][None]
 
-    out_ref[0] = lax.fori_loop(0, f * f, body,
+    out_ref[0] = lax.fori_loop(0, f, body_k,
                                jnp.zeros((c, ht, w), out_ref.dtype))
 
 
@@ -150,9 +159,14 @@ def _pallas_forward(inp, kv, kh, f, interpret=False):
 
     grid = (n, h // ht)
     kernel = functools.partial(_fwd_kernel, f=f, ht=ht, w=w, wpad=wpad, c=c)
+    # the restructured kernel keeps rows/acc_h live alongside the
+    # double-buffered kernel-map tiles — needs a bit over the 16 MB default
+    cparams = (None if interpret else
+               pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, c, h, w), inp.dtype),
+        compiler_params=cparams,
         grid=grid,
         in_specs=[
             # all-Element halo'd input block (mixed Element/Blocked specs
@@ -178,31 +192,38 @@ def _grad_kernels_kernel(inp_ref, g_ref, kv_ref, kh_ref, gkv_ref, gkh_ref,
     """Fused gradVertical + gradHorizontal (reference :138-190).
 
     gkv(k) = Σ_l kh_l ⊙ gw(k,l);  gkh(l) = Σ_k kv_k ⊙ gw(k,l)
-    with gw(k,l) = Σ_c g_c ⊙ win(k,l)_c. Fully static unrolled taps (see
-    _fwd_kernel) with python-side accumulators, written once per tap row.
+    with gw(k,l) = Σ_c g_c ⊙ win(k,l)_c.
+
+    Same loop structure as _fwd_kernel: fori over k with ONE dynamic
+    row-roll, python-static immediate column shifts inside (a dynamic
+    lane-rotate lowers to a log-step select chain — immediates measured
+    ~3× on the forward). gkv accumulates in registers per k and is stored
+    once; gkh accumulates via ref writes across k iterations.
     """
     import jax.lax as lax
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = g_ref[0]              # (C, ht, w)
-    gkv_ref[0] = jnp.zeros((f, ht, w), gkv_ref.dtype)
     gkh_ref[0] = jnp.zeros((f, ht, w), gkh_ref.dtype)
     blk = inp_ref[0]
     n_rows = blk.shape[1]
     n_cols = blk.shape[2]
 
-    def body(i, _):
-        k = i // f
-        l = i % f
+    def body_k(k, _):
         rows = pltpu.roll(blk, (n_rows - k) % n_rows, 1)[:, :ht, :]
-        win = pltpu.roll(rows, (n_cols - l) % n_cols, 2)[:, :, :w]
-        gw = jnp.sum(win * g, axis=0)          # (ht, w)
-        gkv_ref[0, k] += gw * kh_ref[0, l]
-        gkh_ref[0, l] += gw * kv_ref[0, k]
+        kv_k = kv_ref[0, k]
+        gw = jnp.sum(rows[:, :, :w] * g, axis=0)
+        gkv_k = gw * kh_ref[0, 0]
+        gkh_ref[0, 0] += gw * kv_k
+        for l in range(1, f):
+            win = pltpu.roll(rows, n_cols - l, 2)[:, :, :w]
+            gw = jnp.sum(win * g, axis=0)      # (ht, w)
+            gkv_k = gkv_k + gw * kh_ref[0, l]
+            gkh_ref[0, l] += gw * kv_k
+        gkv_ref[0, k] = gkv_k
         return 0
 
-    lax.fori_loop(0, f * f, body, 0)
+    lax.fori_loop(0, f, body_k, 0)
 
 
 def _pallas_grad_kernels(inp, g, kv, kh, f, interpret=False):
