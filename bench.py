@@ -17,10 +17,13 @@ import numpy as np
 def bench_cain_interp_fps(height=256, width=448, batch=16, iters=12,
                           warmup=3, dtype="bfloat16", serving=True):
     """serving=True (default, the headline): pad_multiple=8 + pre-packed
-    scan weights — the TPU serving path (apply docstring: padding beyond
-    the 2**depth the shuffle needs is a torch-era choice whose border
-    reflections carry no information; at 448x256 it wastes 12.5% FLOPs).
-    serving=False: bit-exact reference semantics (pad-to-x128)."""
+    scan weights + fuse_pad (zero `SAME` padding fused into the body convs
+    instead of 122 standalone reflect pads) — the TPU serving path (apply
+    docstring: padding beyond the 2**depth the shuffle needs is a
+    torch-era choice whose border reflections carry no information; at
+    448x256 it wastes 12.5% FLOPs; each reflect pad costs an unfusable
+    HBM round-trip). serving=False: bit-exact reference semantics
+    (pad-to-x128, reflect pads)."""
     import jax
     import jax.numpy as jnp
     from meta_interpolation_tpu.models import cain
@@ -38,7 +41,7 @@ def bench_cain_interp_fps(height=256, width=448, batch=16, iters=12,
     @jax.jit
     def step(params, f0, f1):
         return cain.apply(params, f0, f1, pad_multiple=pad_multiple,
-                          packed_body=packed)
+                          packed_body=packed, fuse_pad=serving)
 
     # Timing note: through the axon tunnel block_until_ready can return
     # before execution completes, so we chain iterations through a data

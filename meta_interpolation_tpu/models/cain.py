@@ -90,8 +90,17 @@ def init(rng: jax.Array, depth: int = 3, n_resgroups: int = 5,
     return {"encoder": {"interpolate": interpolate}}
 
 
-def _conv_norm(p: Params, x, k: int = 3):
-    """Reflect-pad conv (reference MetaConvNorm, model_utils.py:821-848)."""
+def _conv_norm(p: Params, x, k: int = 3, fuse_pad: bool = False):
+    """Reflect-pad conv (reference MetaConvNorm, model_utils.py:821-848).
+
+    ``fuse_pad``: serving-mode option — zero `SAME` padding fused into the
+    conv instead of the reference's reflect pad (each reflect pad is an
+    extra HBM round-trip XLA cannot fuse into the conv; the body has 122
+    of them). Interior pixels are identical; only the conv boundary
+    context changes (same deviation class as ``pad_multiple=8``).
+    """
+    if fuse_pad:
+        return layers.conv2d(p["conv"], x, padding=k // 2)
     x = layers.reflect_pad(x, k // 2)
     return layers.conv2d(p["conv"], x, padding="VALID")
 
@@ -114,10 +123,10 @@ def _ca_layer(p: Params, x):
     return x * y
 
 
-def _rcab(p: Params, x, slope: float = 0.2):
-    out = _conv_norm(p["body"]["0"], x)
+def _rcab(p: Params, x, slope: float = 0.2, fuse_pad: bool = False):
+    out = _conv_norm(p["body"]["0"], x, fuse_pad=fuse_pad)
     out = layers.leaky_relu(out, slope)
-    out = _conv_norm(p["body"]["2"], out)
+    out = _conv_norm(p["body"]["2"], out, fuse_pad=fuse_pad)
     out = _ca_layer(p["body"]["3"], out)
     return out + x
 
@@ -158,7 +167,7 @@ def pack(params: Params, n_resgroups: int = 5, n_resblocks: int = 12) -> Params:
 
 
 def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,
-                   packed_body=None):
+                   packed_body=None, fuse_pad: bool = False):
     x = jnp.concatenate([x0, x1], axis=-1)
     x = layers.conv2d(p["headConv"], x, padding=1)
 
@@ -168,11 +177,11 @@ def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,
     # drops ~20x and the scheduler double-buffers the weight streams
     # (measured 25.1 -> 20.3 ms per batch-16 step at 448x256 on v5e).
     def rcab_body(z, rp):
-        return _rcab(rp, z), None
+        return _rcab(rp, z, fuse_pad=fuse_pad), None
 
     def group_body(z, gp):
         res, _ = jax.lax.scan(rcab_body, z, gp["rcabs"])
-        res = _conv_norm(gp["tail"], res)
+        res = _conv_norm(gp["tail"], res, fuse_pad=fuse_pad)
         return res + z, None
 
     stacked = (packed_body if packed_body is not None
@@ -184,7 +193,7 @@ def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,
 
 def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
           depth: int = 3, n_resgroups: int = 5, n_resblocks: int = 12,
-          pad_multiple: int = 128, packed_body=None,
+          pad_multiple: int = 128, packed_body=None, fuse_pad: bool = False,
           **_unused) -> jnp.ndarray:
     """CAIN forward. NHWC [0,1] frames → NHWC interpolated midpoint frame.
 
@@ -200,7 +209,8 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     differ from the reference near borders; validate PSNR on your trained
     checkpoint before serving with it. ``packed_body``: pre-stacked body
     weights from ``pack`` to skip per-call weight restacking in inference
-    loops.
+    loops. ``fuse_pad``: serving-mode option replacing the body's 122
+    reflect pads with zero padding fused into the convs (see _conv_norm).
     """
     x1, m1 = layers.sub_mean(frame0)
     x2, m2 = layers.sub_mean(frame1)
@@ -211,7 +221,8 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     f1 = layers.pixel_shuffle(x1, scale)
     f2 = layers.pixel_shuffle(x2, scale)
     feats = _interpolation(params["encoder"]["interpolate"], f1, f2,
-                           n_resgroups, n_resblocks, packed_body=packed_body)
+                           n_resgroups, n_resblocks, packed_body=packed_body,
+                           fuse_pad=fuse_pad)
     out = layers.pixel_shuffle(feats, float(2 ** depth))
     out = layers.unpad(out, pads)
     return out + (m1 + m2) / 2.0
