@@ -114,3 +114,69 @@ def test_video_dataset_sliding_clips(tmp_path):
     assert frames.shape == (4, 8, 8, 3)
     # frames renamed to float-indexed names (video.py:12-26)
     assert all("_0.000000" in p or "_" in p for p in meta["imgpaths"])
+
+
+def test_hd_dataset_stride2_windows_and_tail(tmp_path):
+    """Stride-2 sliding 7-frame windows with the reference's tail rule
+    (hd_dataset.py:24-34): once t+7 overruns, every remaining stride step
+    appends the final 7-frame window again."""
+    root = tmp_path / "hd"
+    d = root / "clip0"
+    os.makedirs(d)
+    rs = np.random.RandomState(3)
+    for i in range(9):
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            d / f"{i:03d}.png")
+    ds = ds_lib.HDDataset(str(root), model="cain")
+    # t=0 -> [0..6], t=2 -> [2..8], t=4/6/8 -> last-7 each
+    assert len(ds) == 5
+    f0, m0 = ds[0]
+    assert f0.shape == (7, 8, 8, 3)
+    assert [os.path.basename(p) for p in m0["imgpaths"]] == [
+        f"{i:03d}.png" for i in range(7)]
+    _, m1 = ds[1]
+    assert [os.path.basename(p) for p in m1["imgpaths"]] == [
+        f"{i:03d}.png" for i in range(2, 9)]
+    _, m2 = ds[2]
+    assert m2["imgpaths"] == m1["imgpaths"]  # tail repeats last-7
+
+    # a short clip (<7 frames) is served whole (hd_dataset.py:32-33)
+    d2 = root / "clip1"
+    os.makedirs(d2)
+    for i in range(3):
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            d2 / f"{i:03d}.png")
+    ds2 = ds_lib.HDDataset(str(root), model="cain")
+    assert len(ds2) == 5 + 2  # t=0 and t=2 both emit the whole short clip
+
+
+def test_snufilm_quintuplet_padding(tmp_path):
+    """Quintuplet [a,b,c,d,e] → septuplet [a,0,b,c,d,0,e] (snufilm.py:57-58):
+    support (0,2,4)=(a,b,d), query (2,4)→3 = (b,d)→c."""
+    root = tmp_path / "snu"
+    os.makedirs(root)
+    rs = np.random.RandomState(4)
+    paths = []
+    for i in range(5):
+        p = root / f"q{i}.png"
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    with open(root / "test-hard-meta.txt", "w") as f:
+        f.write(" ".join(paths) + "\n")
+    ds = ds_lib.SNUFILM(str(root), model="cain")
+    assert len(ds) == 1
+    frames, meta = ds[0]
+    assert frames.shape == (7, 8, 8, 3)
+    np.testing.assert_allclose(frames[1], 0.0)
+    np.testing.assert_allclose(frames[5], 0.0)
+    # order preserved: slots (0,2,3,4,6) hold (a,b,c,d,e)
+    imgs = [np.asarray(Image.open(p), np.float32) / 255.0 for p in paths]
+    for slot, img in zip((0, 2, 3, 4, 6), imgs):
+        np.testing.assert_allclose(frames[slot], img, atol=1e-6)
+    assert meta["imgpaths"][1] == "" and meta["imgpaths"][5] == ""
+
+    # test_mode is honored (the reference hardcodes 'hard'; snufilm.py:16)
+    with open(root / "test-easy-meta.txt", "w") as f:
+        f.write(" ".join(paths) + "\n" + " ".join(paths) + "\n")
+    ds_easy = ds_lib.SNUFILM(str(root), model="cain", test_mode="easy")
+    assert len(ds_easy) == 2
