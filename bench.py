@@ -167,6 +167,8 @@ def main(argv=None):
         name = argv[1]
         kw = {"warp_range": 8} if name in ("rrin", "superslomo",
                                            "voxelflow") else {}
+        if name == "dain":
+            kw = {"proj_range": 8}
         fps = bench_model_fps(name, **kw)
         print(json.dumps({"metric": f"{name}_interp_fps_448x256_bf16",
                           "value": round(fps, 2), "unit": "frames/s/chip",

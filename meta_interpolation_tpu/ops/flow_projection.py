@@ -22,6 +22,7 @@ O(H+W) scans instead of the reference's per-pixel while loops.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -30,13 +31,26 @@ import jax.numpy as jnp
 
 def flow_projection(flow: jnp.ndarray,
                     depth_inv: Optional[jnp.ndarray] = None,
-                    fill_hole: bool = False) -> jnp.ndarray:
+                    fill_hole: bool = False,
+                    proj_range: Optional[int] = None) -> jnp.ndarray:
     """Project flow t→0 onto the target grid.
 
     flow: (N, H, W, 2) channel-last (fx, fy); depth_inv: (N, H, W, 1)
     optional inverse-depth weights. Returns (N, H, W, 2).
+
+    ``proj_range``: optional pixel bound enabling the TPU fast path
+    (ops/flow_projection_pallas.py) — XLA lowers the scatter-adds below to
+    serialized per-element updates (~10 ms per 256×448 projection); the
+    bounded kernel sweeps the (2R+2)² source window with static shifts
+    instead. Exact for |flow| ≤ R; None = exact scatter (default, used by
+    all parity tests). The fast path's backward falls back to the scatter
+    formulation's VJP.
     """
     n, h, w, _ = flow.shape
+    if proj_range is not None and jax.default_backend() == "tpu" \
+            and h % 8 == 0:
+        out = _flow_projection_fast(flow, depth_inv, fill_hole, proj_range)
+        return out
     fx = flow[..., 0]
     fy = flow[..., 1]
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
@@ -154,3 +168,42 @@ def _fill_holes(out: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
     filled = (v_l + v_r + v_u + v_d) / jnp.maximum(total_m, 1.0)
     hole = (~valid)[..., None] & (total_m > 0)
     return jnp.where(hole, filled, out)
+
+
+# ---------------------------------------------------------------------------
+# bounded TPU fast path (custom VJP: pallas forward, scatter backward)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _flow_projection_fast(flow, depth_inv, fill_hole, proj_range):
+    return _flow_projection_fast_fwd_impl(flow, depth_inv, fill_hole,
+                                          proj_range)
+
+
+def _flow_projection_fast_fwd_impl(flow, depth_inv, fill_hole, proj_range):
+    from .flow_projection_pallas import flow_projection_bounded
+    out, cnt = flow_projection_bounded(flow, depth_inv,
+                                       max_displacement=proj_range)
+    if fill_hole:
+        out = _fill_holes(out, cnt)
+    return out
+
+
+def _flow_projection_fast_fwd(flow, depth_inv, fill_hole, proj_range):
+    return (_flow_projection_fast_fwd_impl(flow, depth_inv, fill_hole,
+                                           proj_range), (flow, depth_inv))
+
+
+def _flow_projection_fast_bwd(fill_hole, proj_range, res, g):
+    flow, depth_inv = res
+    if depth_inv is None:
+        _, vjp = jax.vjp(
+            lambda f: flow_projection(f, None, fill_hole), flow)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda f, d: flow_projection(f, d, fill_hole), flow, depth_inv)
+    return vjp(g)
+
+
+_flow_projection_fast.defvjp(_flow_projection_fast_fwd,
+                             _flow_projection_fast_bwd)

@@ -16,6 +16,7 @@ construction (the reference needs atomicAdd for this, SURVEY.md §5).
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -127,32 +128,17 @@ def grid_sample_bounded(img: jnp.ndarray, grid: jnp.ndarray,
     dy0 = dy0f.astype(jnp.int32)
     dx0 = dx0f.astype(jnp.int32)
 
-    # edge padding gives border-clamp semantics at the image boundary
-    imgp = jnp.pad(img, ((0, 0), (r, r + 1), (r, r + 1), (0, 0)),
-                   mode="edge")
-
     use_pallas = (jax.default_backend() == "tpu"
                   and w % 128 == 0 and h % 8 == 0)
     if use_pallas:
-        # VMEM-resident Pallas kernel — the XLA-level unrolled fusion graph
-        # compiles pathologically inside large models (ops/warp_pallas.py)
-        from . import warp_pallas
-        out = warp_pallas.warp_bounded_pallas(img, dy0, dx0, fy, fx, r)
+        # VMEM-resident Pallas kernel with a custom VJP (the kernel itself
+        # is not linearizable) — the backward runs the XLA-unrolled
+        # formulation below, which autodiffs correctly; it is only traced
+        # when a caller differentiates through a fast warp (opt-in
+        # --fast_warp_range training).
+        out = _warp_bounded_tpu(img, dy0, dx0, fy, fx, r)
     else:
-        # Unrolled static slices: precompute the per-axis tap weights once,
-        # then accumulate the (2R+2)² statically shifted windows.
-        wys = [(jnp.where(dy0 == d, 1.0 - fy, 0.0)
-                + jnp.where(dy0 == d - 1, fy, 0.0))
-               for d in range(-r, r + 2)]
-        wxs = [(jnp.where(dx0 == e, 1.0 - fx, 0.0)
-                + jnp.where(dx0 == e - 1, fx, 0.0))
-               for e in range(-r, r + 2)]
-        out = jnp.zeros_like(img)
-        for di, d in enumerate(range(-r, r + 2)):
-            for ei, e in enumerate(range(-r, r + 2)):
-                wgt = (wys[di] * wxs[ei])[..., None]
-                shifted = imgp[:, d + r:d + r + h, e + r:e + r + w, :]
-                out = out + wgt * shifted
+        out = _warp_bounded_xla(img, dy0, dx0, fy, fx, r)
 
     if padding_mode != "border":
         # reproduce zero-padding: re-weight by the in-bounds bilinear mass
@@ -168,6 +154,53 @@ def grid_sample_bounded(img: jnp.ndarray, grid: jnp.ndarray,
         out = out * mass.astype(out.dtype)[..., None]
         out = jnp.where(inb[..., None], out, 0.0)
     return out
+
+
+def _warp_bounded_xla(img, dy0, dx0, fy, fx, r):
+    """Unrolled static slices: precompute the per-axis tap weights once,
+    then accumulate the (2R+2)² statically shifted windows. Differentiable
+    (plain XLA ops); compiles pathologically inside large models — the
+    pallas kernel is the forward path on TPU."""
+    n, h, w, c = img.shape
+    # edge padding gives border-clamp semantics at the image boundary
+    imgp = jnp.pad(img, ((0, 0), (r, r + 1), (r, r + 1), (0, 0)),
+                   mode="edge")
+    wys = [(jnp.where(dy0 == d, 1.0 - fy, 0.0)
+            + jnp.where(dy0 == d - 1, fy, 0.0))
+           for d in range(-r, r + 2)]
+    wxs = [(jnp.where(dx0 == e, 1.0 - fx, 0.0)
+            + jnp.where(dx0 == e - 1, fx, 0.0))
+           for e in range(-r, r + 2)]
+    out = jnp.zeros_like(img)
+    for di, d in enumerate(range(-r, r + 2)):
+        for ei, e in enumerate(range(-r, r + 2)):
+            wgt = (wys[di] * wxs[ei])[..., None]
+            shifted = imgp[:, d + r:d + r + h, e + r:e + r + w, :]
+            out = out + wgt * shifted.astype(wgt.dtype)
+    return out.astype(img.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _warp_bounded_tpu(img, dy0, dx0, fy, fx, r):
+    from . import warp_pallas
+    return warp_pallas.warp_bounded_pallas(img, dy0, dx0, fy, fx, r)
+
+
+def _warp_bounded_tpu_fwd(img, dy0, dx0, fy, fx, r):
+    return _warp_bounded_tpu(img, dy0, dx0, fy, fx, r), (img, dy0, dx0,
+                                                         fy, fx)
+
+
+def _warp_bounded_tpu_bwd(r, res, ct):
+    img, dy0, dx0, fy, fx = res
+    _, vjp = jax.vjp(
+        lambda i, a, b: _warp_bounded_xla(i, dy0, dx0, a, b, r),
+        img, fy, fx)
+    gi, gfy, gfx = vjp(ct.astype(img.dtype))
+    return gi, None, None, gfy, gfx
+
+
+_warp_bounded_tpu.defvjp(_warp_bounded_tpu_fwd, _warp_bounded_tpu_bwd)
 
 
 def sample(img: jnp.ndarray, grid: jnp.ndarray, align_corners: bool,

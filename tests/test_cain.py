@@ -115,3 +115,24 @@ def test_cain_mixed_precision_apply():
     out = cain.apply(p, f0, f0, **mk)
     assert out.dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
+def test_cain_fuse_pad_serving_mode():
+    """fuse_pad replaces the body's reflect pads with conv-fused zero
+    padding: same shape, finite, and (documented deviation) different
+    boundary context than the reference-exact default."""
+    import jax
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.models import cain
+
+    params = cain.init(jax.random.PRNGKey(0), depth=1, n_resgroups=1,
+                       n_resblocks=1, reduction=4)
+    rs = np.random.RandomState(0)
+    f0 = jnp.asarray(rs.rand(1, 16, 24, 3), jnp.float32)
+    f1 = jnp.asarray(rs.rand(1, 16, 24, 3), jnp.float32)
+    kw = dict(depth=1, n_resgroups=1, n_resblocks=1, pad_multiple=2)
+    base = cain.apply(params, f0, f1, **kw)
+    fused = cain.apply(params, f0, f1, fuse_pad=True, **kw)
+    assert fused.shape == base.shape
+    assert np.all(np.isfinite(np.asarray(fused)))
+    assert float(jnp.max(jnp.abs(fused - base))) > 0  # deviation is real

@@ -155,3 +155,36 @@ def test_filter_interpolation_differentiable():
     g2 = jax.grad(lambda ff: jnp.sum(
         filter_interpolation(img, flow, ff) ** 2))(filters)
     assert float(jnp.abs(g2).sum()) > 0
+
+
+def test_flow_projection_bounded_matches_scatter_interpret():
+    """Bounded pallas projection (interpret mode) == scatter formulation,
+    both unweighted and depth-weighted; count plane drives hole filling."""
+    from meta_interpolation_tpu.ops.flow_projection_pallas import (
+        flow_projection_bounded)
+
+    rs = np.random.RandomState(7)
+    flow = jnp.asarray(rs.rand(2, 16, 32, 2) * 12 - 6, jnp.float32)
+    dinv = jnp.asarray(rs.rand(2, 16, 32, 1) + 0.3, jnp.float32)
+
+    out, cnt = flow_projection_bounded(flow, dinv, max_displacement=8,
+                                       interpret=True)
+    ref = flow_projection(flow, dinv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    out_u, _ = flow_projection_bounded(flow, None, max_displacement=8,
+                                       interpret=True)
+    ref_u = flow_projection(flow)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flow_projection_proj_range_cpu_fallthrough():
+    """On CPU the proj_range fast path falls through to the exact scatter
+    (the pallas kernel is TPU-only)."""
+    rs = np.random.RandomState(8)
+    flow = jnp.asarray(rs.rand(1, 16, 128, 2) * 4 - 2, jnp.float32)
+    a = flow_projection(flow, proj_range=8)
+    b = flow_projection(flow)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

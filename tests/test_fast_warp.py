@@ -93,3 +93,34 @@ def test_bounded_warp_differentiable():
         warp.backward_warp(img, f, warp_range=4) ** 2))(flow)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_bounded_warp_gradients_match_exact():
+    """d(bounded warp)/d(img, grid) == exact gather warp gradients when all
+    samples are within range (training with --fast_warp_range)."""
+    import jax
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.ops import warp as W
+
+    rs = np.random.RandomState(5)
+    img = jnp.asarray(rs.rand(1, 8, 16, 2), jnp.float32)
+    flow = jnp.asarray(rs.rand(1, 8, 16, 2) * 3 - 1.5, jnp.float32)
+    xs = jnp.arange(16, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(8, dtype=jnp.float32)[None, :, None]
+    grid = jnp.stack([2 * (xs + flow[..., 0]) / 15 - 1,
+                      2 * (ys + flow[..., 1]) / 7 - 1], axis=-1)
+
+    def loss_exact(i, g):
+        return jnp.sum(W.grid_sample(i, g, align_corners=True,
+                                     padding_mode="border") ** 2)
+
+    def loss_fast(i, g):
+        return jnp.sum(W.grid_sample_bounded(i, g, 4, align_corners=True,
+                                             padding_mode="border") ** 2)
+
+    gi_e, gg_e = jax.grad(loss_exact, argnums=(0, 1))(img, grid)
+    gi_f, gg_f = jax.grad(loss_fast, argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(gi_f), np.asarray(gi_e),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_f), np.asarray(gg_e),
+                               atol=1e-3, rtol=1e-3)
