@@ -141,7 +141,21 @@ def main(argv=None):
     import sys
     argv = argv if argv is not None else sys.argv[1:]
     if argv and argv[0] == "--hd":
-        # HD (1080p) CAIN throughput (BASELINE.md secondary metric)
+        # HD (1080p) throughput (BASELINE.md secondary metric);
+        # `--hd <model>` benches any registered model at 1088x1920
+        if len(argv) > 1:
+            name = argv[1]
+            kw = {"warp_range": 8} if name in ("rrin", "superslomo",
+                                               "voxelflow") else {}
+            if name == "dain":
+                kw = {"proj_range": 8}
+            fps = bench_model_fps(name, height=1088, width=1920, batch=1,
+                                  iters=4, **kw)
+            print(json.dumps({"metric": f"{name}_interp_fps_1080p_bf16",
+                              "value": round(fps, 2),
+                              "unit": "frames/s/chip",
+                              "vs_baseline": round(fps, 4)}))
+            return
         fps = bench_cain_interp_fps(height=1088, width=1920, batch=1,
                                     iters=6, serving=False)
         print(json.dumps({"metric": "cain_interp_fps_1080p_bf16",

@@ -107,6 +107,14 @@ class EpisodeBuilder:
         self.inner_opt = inner_opt
         self.denormalize = denormalize
         self.inner_mask = inner_mask
+        # concrete keep/freeze booleans (inner_mask is built from the param
+        # tree at setup, never traced) — used to stop_gradient frozen
+        # leaves at the inner-grad input so autodiff prunes the frozen
+        # subtrees entirely (the reference gets this for free: its weight
+        # dict only *contains* trainable params, meta_learning_system.py:
+        # 96-101 — for DAIN that skips differentiating hourglass/PWC/ctx)
+        self._inner_keep = (None if inner_mask is None else jax.tree.map(
+            lambda m: bool(float(m)), inner_mask))
         # when True, meta_params['loss_ctx'] (e.g. GAN discriminator params)
         # is passed to loss_fn as the ctx kwarg — traced, never jit-stale
         self.uses_loss_ctx = uses_loss_ctx
@@ -138,6 +146,16 @@ class EpisodeBuilder:
         if self.inner_mask is None:
             return grads
         return jax.tree.map(lambda g, m: g * m, grads, self.inner_mask)
+
+    def _prune_frozen(self, params):
+        """stop_gradient the inner-frozen leaves so the support-grad
+        backward never enters their subtrees (math-identical to _masked:
+        those grads are zero either way)."""
+        if self._inner_keep is None:
+            return params
+        return jax.tree.map(
+            lambda p, k: p if k else jax.lax.stop_gradient(p),
+            params, self._inner_keep)
 
     # -- L2F ---------------------------------------------------------------
     def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec,
@@ -187,6 +205,7 @@ class EpisodeBuilder:
             # semantically identical to the reference's create_graph=False.
             grad_src = params if spec.second_order else jax.tree.map(
                 jax.lax.stop_gradient, params)
+            grad_src = self._prune_frozen(grad_src)
             # loss_ctx (e.g. GAN discriminator params) is a *constant*
             # during adaptation — its update is a separate jitted step
             # (core/adversarial.py), never through the inner loop. Block
