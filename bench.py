@@ -139,6 +139,9 @@ def bench_train_tasks_per_s(batch=4, crop=256, iters=6, warmup=2):
 
 def main(argv=None):
     import sys
+    from meta_interpolation_tpu.core.compile_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if argv and argv[0] == "--hd":
         # HD (1080p) throughput (BASELINE.md secondary metric);

@@ -15,6 +15,8 @@ from .meta.system import SceneAdaptiveInterpolation
 
 def main(argv=None):
     cfg = get_args(argv)
+    from .core.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     print(f"devices: {jax.devices()}")
 
     mesh = None

@@ -17,3 +17,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+from meta_interpolation_tpu.core.compile_cache import (  # noqa: E402
+    enable_compilation_cache)
+
+enable_compilation_cache()
