@@ -54,17 +54,25 @@ def load_checkpoint(directory: str, filename: str = "checkpoint.pkl"
         return pickle.load(f)
 
 
-def lossy_merge(target: PyTree, loaded: PyTree, verbose: bool = True) -> PyTree:
+def lossy_merge(target: PyTree, loaded: PyTree, verbose: bool = True,
+                return_mask: bool = False) -> PyTree:
     """Merge ``loaded`` into ``target``, skipping missing keys and shape
-    mismatches (reference lossy_load_state_dict, utils.py:89-107)."""
+    mismatches (reference lossy_load_state_dict, utils.py:89-107).
+
+    ``return_mask``: also return a bool pytree marking which leaves were
+    actually loaded — consumed by ``--fix_loaded`` (reference utils.py:79-84
+    freezes the loaded parts)."""
     t_paths, treedef = jax.tree_util.tree_flatten_with_path(target)
     flat_l = {jax.tree_util.keystr(kp): v for kp, v in
               jax.tree_util.tree_flatten_with_path(loaded)[0]}
     leaves = []
+    loaded_flags = []
     skipped = []
     for kp, v in t_paths:
         k = jax.tree_util.keystr(kp)
         lv = flat_l.get(k)
+        loaded_flags.append(lv is not None
+                            and tuple(np.shape(lv)) == tuple(np.shape(v)))
         if lv is not None and tuple(np.shape(lv)) == tuple(np.shape(v)):
             leaves.append(jnp.asarray(lv))
         else:
@@ -74,7 +82,10 @@ def lossy_merge(target: PyTree, loaded: PyTree, verbose: bool = True) -> PyTree:
     if verbose and skipped:
         print(f"[checkpoint] skipped {len(skipped)} mismatched keys: "
               f"{skipped[:5]}{'...' if len(skipped) > 5 else ''}")
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    merged = jax.tree_util.tree_unflatten(treedef, leaves)
+    if return_mask:
+        return merged, jax.tree_util.tree_unflatten(treedef, loaded_flags)
+    return merged
 
 
 # ---------------------------------------------------------------------------
@@ -131,10 +142,12 @@ def torch_state_dict_to_pytree(state_dict: Dict[str, np.ndarray],
     return tree
 
 
-def import_pth(path: str, target_params: PyTree) -> PyTree:
+def import_pth(path: str, target_params: PyTree,
+               return_mask: bool = False) -> PyTree:
     """Import released torch weights into a params tree of ours: convert then
     lossy-merge (tolerating extra / missing / mismatched keys the same way
-    the reference does for its released .pth files)."""
+    the reference does for its released .pth files). ``return_mask`` also
+    returns the loaded-leaf mask for ``--fix_loaded``."""
     sd = load_torch_file(path)
     converted = torch_state_dict_to_pytree(sd)
-    return lossy_merge(target_params, converted)
+    return lossy_merge(target_params, converted, return_mask=return_mask)

@@ -29,8 +29,13 @@ def main(argv=None):
     if cfg.pretrained_model:
         from .core import checkpoint as ckpt_lib
         print(f"Loading pretrained model: {cfg.pretrained_model}")
-        system.meta_params["net"] = ckpt_lib.import_pth(
-            cfg.pretrained_model, system.meta_params["net"])
+        net, loaded_mask = ckpt_lib.import_pth(
+            cfg.pretrained_model, system.meta_params["net"],
+            return_mask=True)
+        system.meta_params["net"] = net
+        if cfg.fix_loaded:
+            system.freeze_loaded(loaded_mask)
+            print("[fix_loaded] frozen the loaded parameters")
 
     data = MetaLearningSystemDataLoader(cfg)
     builder = ExperimentBuilder(cfg, data, system)

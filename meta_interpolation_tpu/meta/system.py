@@ -176,6 +176,15 @@ class SceneAdaptiveInterpolation:
 
         return bf16_apply
 
+    def freeze_loaded(self, loaded_mask: PyTree) -> None:
+        """--fix_loaded (reference utils.py:79-84): freeze the net leaves
+        that were actually loaded from a checkpoint, so only new /
+        unmatched parts keep training in the outer loop."""
+        self._trainable_mask["net"] = jax.tree.map(
+            lambda t, was_loaded: bool(t) and not bool(was_loaded),
+            self._trainable_mask["net"], loaded_mask)
+        self._jit_cache.clear()  # train steps close over the mask
+
     def _build_trainable_mask(self) -> PyTree:
         """Outer-loop trainability: net always (minus DAIN frozen parts),
         LRs only when learnable (reference requires_grad semantics)."""

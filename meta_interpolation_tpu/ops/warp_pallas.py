@@ -93,7 +93,9 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
 
     n, h, w, c = img.shape
     assert w % 128 == 0 and h % 8 == 0, (h, w)
-    ht = 32 if h % 32 == 0 else 8
+    # wide frames (HD): small row tiles keep the 18-plane wx precompute +
+    # halo'd image block inside VMEM
+    ht = 32 if (h % 32 == 0 and w <= 1024) else 8
     halo_rows = _round8(r + 1) + 8  # covers d ∈ [−r, r+1] with 8-alignment
     col_off = 128                   # column pad ≥ r+1, lane-aligned
 
@@ -114,6 +116,9 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, c, h, w), img.dtype),
+        compiler_params=(None if interpret else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=64 * 2**20)),
         grid=grid,
         in_specs=[
             # a BlockSpec must be all-Element or all-Blocked; the halo'd

@@ -76,3 +76,31 @@ def test_import_pth_from_real_torch_file(tmp_path):
     np.testing.assert_allclose(np.asarray(ours),
                                theirs.numpy().transpose(0, 2, 3, 1),
                                atol=1e-5)
+
+
+def test_fix_loaded_freezes_loaded_leaves():
+    """--fix_loaded: leaves that lossy_merge actually loaded get frozen in
+    the outer trainable mask (reference utils.py:79-84)."""
+    import jax
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.core import checkpoint as ckpt
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    cfg = Config(model="cain", depth=2, n_resblocks=1, crop_size=16,
+                 batch_size=1)
+    system = SceneAdaptiveInterpolation(cfg)
+    net = system.meta_params["net"]
+    # fake 'loaded' tree: only headConv matched
+    partial = {"encoder": {"interpolate": {
+        "headConv": jax.tree.map(lambda x: np.asarray(x) * 0 + 1.0,
+                                 net["encoder"]["interpolate"]["headConv"])}}}
+    merged, mask = ckpt.lossy_merge(net, partial, verbose=False,
+                                    return_mask=True)
+    assert mask["encoder"]["interpolate"]["headConv"]["kernel"] is True
+    assert mask["encoder"]["interpolate"]["tailConv"]["kernel"] is False
+    system.meta_params["net"] = merged
+    system.freeze_loaded(mask)
+    tm = system._trainable_mask["net"]["encoder"]["interpolate"]
+    assert tm["headConv"]["kernel"] is False   # loaded -> frozen
+    assert tm["tailConv"]["kernel"] is True    # unloaded -> still trains
