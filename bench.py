@@ -148,8 +148,9 @@ def main(argv=None):
         # `--hd <model>` benches any registered model at 1088x1920
         if len(argv) > 1:
             name = argv[1]
-            kw = {"warp_range": 8} if name in ("rrin", "superslomo",
-                                               "voxelflow") else {}
+            # voxelflow HD: exact gather measured faster than the bounded
+            # warp inside the full jitted model (BASELINE.md anomaly note)
+            kw = {"warp_range": 8} if name in ("rrin", "superslomo") else {}
             if name == "dain":
                 kw = {"proj_range": 8}
             fps = bench_model_fps(name, height=1088, width=1920, batch=1,

@@ -20,9 +20,14 @@ def main(argv=None):
     print(f"devices: {jax.devices()}")
 
     mesh = None
-    if cfg.episode_parallel and len(jax.devices()) > 1:
+    if len(jax.devices()) > 1 and (cfg.episode_parallel
+                                   or cfg.spatial_shards > 1):
         from .parallel import mesh as mesh_lib
-        mesh = mesh_lib.make_mesh(cfg.mesh_shape)
+        shape = cfg.mesh_shape
+        if cfg.spatial_shards > 1 and not shape:
+            shape = (f"{len(jax.devices()) // cfg.spatial_shards}"
+                     f"x{cfg.spatial_shards}")
+        mesh = mesh_lib.make_mesh(shape)
         print(f"mesh: {mesh}")
 
     system = SceneAdaptiveInterpolation(cfg, mesh=mesh)

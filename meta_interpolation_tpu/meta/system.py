@@ -296,6 +296,10 @@ class SceneAdaptiveInterpolation:
         if self.mesh is None:
             return frames
         from ..parallel import mesh as mesh_lib
+        if self.cfg.spatial_shards > 1:
+            # HD eval: rows sharded over the spatial mesh axis (exact —
+            # GSPMD inserts the conv halo exchanges)
+            return mesh_lib.shard_task_spatial_batch(self.mesh, frames)
         # multi-host aware: each process contributes its local slice of the
         # global batch (single-process this is plain shard_task_batch)
         return mesh_lib.shard_task_batch_multihost(self.mesh, frames)

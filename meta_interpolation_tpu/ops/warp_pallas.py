@@ -23,6 +23,15 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
+def _col_tile(w: int, cap: int = 640) -> int:
+    """Largest 128-multiple ≤ cap dividing w (w is a 128-multiple)."""
+    t = min(w, cap)
+    t -= t % 128
+    while t >= 128 and w % t:
+        t -= 128
+    return max(t, 128)
+
+
 def _warp_kernel(img_ref, dy0_ref, dx0_ref, fy_ref, fx_ref, out_ref,
                  *, r, ht, w, halo_rows, col_off, c):
     """img_ref: (1, C, ht+2*halo_rows, w+2*col_off) edge-padded rows/cols;
@@ -93,9 +102,12 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
 
     n, h, w, c = img.shape
     assert w % 128 == 0 and h % 8 == 0, (h, w)
-    # wide frames (HD): small row tiles keep the 18-plane wx precompute +
-    # halo'd image block inside VMEM
-    ht = 32 if (h % 32 == 0 and w <= 1024) else 8
+    ht = 32 if h % 32 == 0 else 8
+    # 2-D tiling: wide (HD) frames are split along W as well — full-width
+    # rows at 1920 wide made the per-tap rolls and the wx precompute blow
+    # VMEM (and ht=8 full-width tiles measured SLOWER than the exact
+    # gather); the column halo of 128 ≥ r+1 comes from the pre-padding
+    wt = _col_tile(w)
     halo_rows = _round8(r + 1) + 8  # covers d ∈ [−r, r+1] with 8-alignment
     col_off = 128                   # column pad ≥ r+1, lane-aligned
 
@@ -108,10 +120,10 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
     fy = fy.astype(jnp.float32)
     fx = fx.astype(jnp.float32)
 
-    grid = (n, h // ht)
-    kernel = functools.partial(_warp_kernel, r=r, ht=ht, w=w,
+    grid = (n, h // ht, w // wt)
+    kernel = functools.partial(_warp_kernel, r=r, ht=ht, w=wt,
                                halo_rows=halo_rows, col_off=col_off, c=c)
-    cspec = pl.BlockSpec((1, ht, w), lambda b, i: (b, i, 0),
+    cspec = pl.BlockSpec((1, ht, wt), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -125,12 +137,13 @@ def warp_bounded_pallas(img: jnp.ndarray, dy0: jnp.ndarray, dx0: jnp.ndarray,
             # input uses Element on every dim (offsets in elements)
             pl.BlockSpec((pl.Element(1), pl.Element(c),
                           pl.Element(ht + 2 * halo_rows),
-                          pl.Element(w + 2 * col_off)),
-                         lambda b, i: (b, 0, i * ht, 0),
+                          pl.Element(wt + 2 * col_off)),
+                         lambda b, i, j: (b, 0, i * ht, j * wt),
                          memory_space=pltpu.VMEM),
             cspec, cspec, cspec, cspec,
         ],
-        out_specs=pl.BlockSpec((1, c, ht, w), lambda b, i: (b, 0, i, 0),
+        out_specs=pl.BlockSpec((1, c, ht, wt),
+                               lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(img_cl, dy0, dx0, fy, fx)

@@ -63,6 +63,21 @@ def shard_task_batch(mesh: Mesh, frames):
     return jax.device_put(frames, task_sharding(mesh))
 
 
+def shard_task_spatial_batch(mesh: Mesh, frames):
+    """Place a (B, T, H, W, C) batch sharded over (task, spatial): tasks on
+    axis 0, frame rows on axis 2. GSPMD partitions the whole episode from
+    this input sharding alone — conv halo exchanges, channel-attention
+    reductions and loss psums are inserted by XLA, so the spatially-sharded
+    eval is *exact* (no tiling seams, unlike the reference's
+    experiment_builder.py:103-128 halving)."""
+    h = frames.shape[2]
+    sp = mesh.shape[SPATIAL_AXIS]
+    if sp == 1 or h % sp:
+        return shard_task_batch(mesh, frames)
+    return jax.device_put(
+        frames, NamedSharding(mesh, P(TASK_AXIS, None, SPATIAL_AXIS)))
+
+
 def replicate_params(mesh: Mesh, params):
     """Replicate the meta-params across the mesh (they are identical on all
     devices; XLA all-reduces the outer grads automatically)."""

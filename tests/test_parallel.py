@@ -134,3 +134,33 @@ def test_shard_task_batch_multihost_single_process():
     assert arr.shape == x.shape
     np.testing.assert_array_equal(np.asarray(arr), x)
     assert len(arr.sharding.device_set) == 8
+
+
+def test_spatial_sharded_validation_matches_unsharded():
+    """--spatial_shards: eval episode with frames row-sharded over the
+    spatial mesh axis == unsharded eval (GSPMD is semantics-preserving;
+    no tiling seams)."""
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+    from meta_interpolation_tpu.parallel import mesh as mesh_lib
+
+    rs = np.random.RandomState(0)
+    frames = rs.rand(2, 7, 32, 32, 3).astype(np.float32)
+
+    cfg = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
+                 crop_size=32, number_of_evaluation_steps_per_iter=1)
+    plain = SceneAdaptiveInterpolation(cfg)
+    l_plain, p_plain = plain.run_validation_iter(frames)
+
+    cfg_sp = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
+                    crop_size=32, number_of_evaluation_steps_per_iter=1,
+                    spatial_shards=4)
+    mesh = mesh_lib.make_mesh("2x4")
+    sharded = SceneAdaptiveInterpolation(cfg_sp, mesh=mesh)
+    sharded.meta_params = jax.tree.map(jnp.asarray, plain.meta_params)
+    l_sp, p_sp = sharded.run_validation_iter(frames)
+
+    assert abs(l_plain["psnr"] - l_sp["psnr"]) < 1e-3
+    np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_plain),
+                               atol=1e-4, rtol=1e-4)
