@@ -52,10 +52,37 @@ class PlateauScheduler:
 
 def make_outer_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Outer optimizer (reference :132-144): Adam β=(0.9,0.99), Adamax
-    β=(0.9,0.999), or SGD, with injectable LR for the plateau scheduler."""
+    β=(0.9,0.999), or SGD, with injectable LR for the plateau scheduler.
+
+    VoxelFlow + Adam mirrors the reference's ``get_optim_policies`` branch
+    (meta_learning_system.py:134-136, voxel_flow.py:307-350): torch-default
+    betas (0.9, 0.999), ``--weight_decay`` as additive L2 on non-bias
+    leaves, and bias leaves at 2× the learning rate with no decay.
+    """
     if cfg.optimizer == "Adam":
-        tx = optax.inject_hyperparams(optax.adam)(
-            learning_rate=cfg.outer_lr, b1=0.9, b2=0.99)
+        if cfg.model == "voxelflow":
+            def _is_bias(path):
+                return path and getattr(path[-1], "key", "") == "bias"
+
+            def vf_adam(learning_rate):
+                bias_mask = lambda params: jax.tree_util.tree_map_with_path(
+                    lambda kp, _: _is_bias(kp), params)
+                nonbias_mask = lambda params: \
+                    jax.tree_util.tree_map_with_path(
+                        lambda kp, _: not _is_bias(kp), params)
+                return optax.chain(
+                    optax.masked(
+                        optax.add_decayed_weights(cfg.weight_decay),
+                        nonbias_mask),
+                    optax.scale_by_adam(b1=0.9, b2=0.999),
+                    optax.masked(optax.scale(2.0), bias_mask),
+                    optax.scale(-learning_rate))
+
+            tx = optax.inject_hyperparams(vf_adam)(
+                learning_rate=cfg.outer_lr)
+        else:
+            tx = optax.inject_hyperparams(optax.adam)(
+                learning_rate=cfg.outer_lr, b1=0.9, b2=0.99)
     elif cfg.optimizer == "Adamax":
         tx = optax.inject_hyperparams(
             lambda learning_rate: optax.adamax(learning_rate, b1=0.9, b2=0.999)

@@ -16,8 +16,13 @@ reference's "norm_layer" name filter, meta_learning_system.py:222-226).
 
 Init: conv weights N(0, 0.01), zero bias (:267-271).
 Inputs are 0-255-range normalized (x−127.5)/127.5 upstream (registry).
-The bias-2×-LR ``get_optim_policies`` grouping (:307-350) is implemented as
-an optax multi-transform hook in meta/system.py.
+The bias-2×-LR ``get_optim_policies`` grouping (:307-350) is implemented in
+meta/system.make_outer_optimizer (voxelflow+Adam: torch-default betas,
+additive L2 on non-bias leaves, bias at 2× lr). Documented deviation: the
+reference's voxelflow branch passes ONLY net policies to Adam
+(meta_learning_system.py:134-136), silently leaving the Meta-SGD inner
+LRs out of the outer optimizer; here the LRs stay trainable like every
+other model (their bias-named mirrors share the 2×/no-decay policy).
 """
 from __future__ import annotations
 

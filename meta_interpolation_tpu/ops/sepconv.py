@@ -148,7 +148,11 @@ def _pallas_forward(inp, kv, kh, f, interpret=False):
     if not interpret:
         assert w % 128 == 0 and h % 8 == 0, (
             f"pallas sepconv needs W%128==0 and H%8==0, got {h}x{w}")
-    ht = _row_tile(h) if not interpret else (min(h, 8) if h % 8 == 0 else h)
+    # wide (HD) frames: drop the row tile so the double-buffered
+    # (f, ht, w) kernel-map blocks stay inside VMEM
+    cap = 32 if w <= 1024 else 8
+    ht = (_row_tile(h, cap) if not interpret
+          else (min(h, 8) if h % 8 == 0 else h))
     wpad = 128 if not interpret else f - 1  # lane alignment (≥ f-1)
 
     inp_cl = _to_cl(inp)  # (n, c, hp, wp)
@@ -238,7 +242,7 @@ def _pallas_grad_kernels(inp, g, kv, kh, f, interpret=False):
 
     n, hp, wp, c = inp.shape
     h, w = kv.shape[1], kv.shape[2]
-    ht = (_row_tile(h, cap=16) if not interpret
+    ht = (_row_tile(h, cap=16 if w <= 1024 else 8) if not interpret
           else (min(h, 8) if h % 8 == 0 else h))
     wpad = 128 if not interpret else f - 1
 

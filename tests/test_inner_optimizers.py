@@ -143,3 +143,36 @@ def test_second_order_adam_finite_at_zero_grad_leaves():
 
     g = jax.grad(inner_then_outer)(jnp.asarray([0.5, -0.5]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_voxelflow_outer_adam_policies():
+    """VoxelFlow+Adam outer optimizer mirrors get_optim_policies
+    (voxel_flow.py:307-350): bias leaves step at 2x lr with no weight
+    decay; weight leaves get additive L2 decay; torch-default betas."""
+    import optax
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import make_outer_optimizer
+
+    cfg = Config(model="voxelflow", optimizer="Adam", outer_lr=1e-3,
+                 weight_decay=0.0)
+    tx = make_outer_optimizer(cfg)
+    params = {"net": {"conv": {"kernel": jnp.ones((2, 2)),
+                               "bias": jnp.ones((2,))}}}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    uk = float(updates["net"]["conv"]["kernel"][0, 0])
+    ub = float(updates["net"]["conv"]["bias"][0])
+    assert abs(ub / uk - 2.0) < 1e-5, (uk, ub)  # bias 2x lr
+
+    # decay hits weights only (equal grads, params=1: weight grad gets +wd)
+    cfg2 = Config(model="voxelflow", optimizer="Adam", outer_lr=1e-3,
+                  weight_decay=0.5)
+    tx2 = make_outer_optimizer(cfg2)
+    state2 = tx2.init(params)
+    up2, _ = tx2.update(grads, state2, params)
+    # with decay the weight's effective grad is 1.5 vs bias 1.0: adam
+    # normalizes magnitudes, but the first-step m/sqrt(v) is sign-scaled
+    # identically — compare against the no-decay update to see decay only
+    # touched the weight leaf
+    assert abs(float(up2["net"]["conv"]["bias"][0]) - ub) < 1e-7
