@@ -71,9 +71,9 @@ def lossy_merge(target: PyTree, loaded: PyTree, verbose: bool = True,
     for kp, v in t_paths:
         k = jax.tree_util.keystr(kp)
         lv = flat_l.get(k)
-        loaded_flags.append(lv is not None
-                            and tuple(np.shape(lv)) == tuple(np.shape(v)))
-        if lv is not None and tuple(np.shape(lv)) == tuple(np.shape(v)):
+        ok = lv is not None and tuple(np.shape(lv)) == tuple(np.shape(v))
+        loaded_flags.append(ok)
+        if ok:
             leaves.append(jnp.asarray(lv))
         else:
             leaves.append(v)

@@ -25,7 +25,12 @@ def main(argv=None):
         from .parallel import mesh as mesh_lib
         shape = cfg.mesh_shape
         if cfg.spatial_shards > 1 and not shape:
-            shape = (f"{len(jax.devices()) // cfg.spatial_shards}"
+            n_dev = len(jax.devices())
+            if n_dev % cfg.spatial_shards:
+                raise ValueError(
+                    f"--spatial_shards {cfg.spatial_shards} must divide "
+                    f"the device count ({n_dev})")
+            shape = (f"{n_dev // cfg.spatial_shards}"
                      f"x{cfg.spatial_shards}")
         mesh = mesh_lib.make_mesh(shape)
         print(f"mesh: {mesh}")

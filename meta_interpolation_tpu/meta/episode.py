@@ -108,11 +108,11 @@ class EpisodeBuilder:
         self.denormalize = denormalize
         self.inner_mask = inner_mask
         # concrete keep/freeze booleans (inner_mask is built from the param
-        # tree at setup, never traced) — used to stop_gradient frozen
-        # leaves at the inner-grad input so autodiff prunes the frozen
-        # subtrees entirely (the reference gets this for free: its weight
-        # dict only *contains* trainable params, meta_learning_system.py:
-        # 96-101 — for DAIN that skips differentiating hourglass/PWC/ctx)
+        # tree at setup, never traced) — used by _prune_frozen inside the
+        # inner-grad lambda so autodiff prunes the frozen subtrees entirely
+        # (the reference gets this for free: its weight dict only
+        # *contains* trainable params, meta_learning_system.py:96-101 —
+        # for DAIN that skips differentiating hourglass/PWC/ctx)
         self._inner_keep = (None if inner_mask is None else jax.tree.map(
             lambda m: bool(float(m)), inner_mask))
         # when True, meta_params['loss_ctx'] (e.g. GAN discriminator params)
@@ -148,9 +148,10 @@ class EpisodeBuilder:
         return jax.tree.map(lambda g, m: g * m, grads, self.inner_mask)
 
     def _prune_frozen(self, params):
-        """stop_gradient the inner-frozen leaves so the support-grad
-        backward never enters their subtrees (math-identical to _masked:
-        those grads are zero either way)."""
+        """stop_gradient the inner-frozen leaves — called INSIDE the
+        differentiated support-loss lambda, where it makes those grads
+        symbolic zeros and prunes their subtrees from the backward
+        (math-identical to _masked: those grads are zero either way)."""
         if self._inner_keep is None:
             return params
         return jax.tree.map(
@@ -205,7 +206,6 @@ class EpisodeBuilder:
             # semantically identical to the reference's create_graph=False.
             grad_src = params if spec.second_order else jax.tree.map(
                 jax.lax.stop_gradient, params)
-            grad_src = self._prune_frozen(grad_src)
             # loss_ctx (e.g. GAN discriminator params) is a *constant*
             # during adaptation — its update is a separate jitted step
             # (core/adversarial.py), never through the inner loop. Block
@@ -219,9 +219,16 @@ class EpisodeBuilder:
             # Second order must differentiate THROUGH this gradient, and
             # the fast conv's hand-written bwd is not itself differentiable
             # under vmap — fall back to plain convs.
+            # _prune_frozen INSIDE the differentiated function: stop_gradient
+            # applied to the *input* of jax.grad does not stop
+            # differentiation w.r.t. it — inside, frozen leaves become
+            # symbolic zeros and their subtrees' backward is pruned
+            # (DAIN: hourglass/PWC/ctx never differentiated, mirroring the
+            # reference whose weight dict only contains rectify params)
             with L.episode_fast_conv(not spec.second_order):
                 grads = jax.grad(
-                    lambda p: self._support_loss(p, frames, spec,
+                    lambda p: self._support_loss(self._prune_frozen(p),
+                                                 frames, spec,
                                                  ctx_src))(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)

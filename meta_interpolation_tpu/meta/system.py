@@ -55,27 +55,39 @@ def make_outer_optimizer(cfg: Config) -> optax.GradientTransformation:
     β=(0.9,0.999), or SGD, with injectable LR for the plateau scheduler.
 
     VoxelFlow + Adam mirrors the reference's ``get_optim_policies`` branch
-    (meta_learning_system.py:134-136, voxel_flow.py:307-350): torch-default
-    betas (0.9, 0.999), ``--weight_decay`` as additive L2 on non-bias
-    leaves, and bias leaves at 2× the learning rate with no decay.
+    (meta_learning_system.py:134-136, voxel_flow.py:307-350, multipliers
+    from voxelflow_maml_config.py:8-10): torch-default betas (0.9, 0.999),
+    conv weights [lr×1, decay×1], conv biases [lr×2, decay×0], BN
+    scale/shift [lr×1, decay×1]; BN running stats are buffers (frozen via
+    the model's outer mask). Policies apply to the 'net' subtree only —
+    the reference passes only net policies to this optimizer (its inner
+    LRs silently drop out; ours keeps them on plain no-decay Adam).
     """
     if cfg.optimizer == "Adam":
         if cfg.model == "voxelflow":
-            def _is_bias(path):
-                return path and getattr(path[-1], "key", "") == "bias"
+            def _classify(path):
+                """'conv_bias' | 'decayed' (conv W + BN affine) | 'plain'
+                (everything outside net, and BN buffers — outer-masked)."""
+                keys = [getattr(k, "key", "") for k in path]
+                if not keys or keys[0] != "net":
+                    return "plain"
+                in_bn = any(str(k).endswith("_bn") for k in keys[:-1])
+                leaf = keys[-1]
+                if in_bn:
+                    return "decayed" if leaf in ("scale", "bias") else "plain"
+                return "conv_bias" if leaf == "bias" else "decayed"
 
             def vf_adam(learning_rate):
-                bias_mask = lambda params: jax.tree_util.tree_map_with_path(
-                    lambda kp, _: _is_bias(kp), params)
-                nonbias_mask = lambda params: \
-                    jax.tree_util.tree_map_with_path(
-                        lambda kp, _: not _is_bias(kp), params)
+                def mask_of(group):
+                    return lambda params: jax.tree_util.tree_map_with_path(
+                        lambda kp, _: _classify(kp) == group, params)
+
                 return optax.chain(
                     optax.masked(
                         optax.add_decayed_weights(cfg.weight_decay),
-                        nonbias_mask),
+                        mask_of("decayed")),
                     optax.scale_by_adam(b1=0.9, b2=0.999),
-                    optax.masked(optax.scale(2.0), bias_mask),
+                    optax.masked(optax.scale(2.0), mask_of("conv_bias")),
                     optax.scale(-learning_rate))
 
             tx = optax.inject_hyperparams(vf_adam)(
@@ -206,11 +218,24 @@ class SceneAdaptiveInterpolation:
     def freeze_loaded(self, loaded_mask: PyTree) -> None:
         """--fix_loaded (reference utils.py:79-84): freeze the net leaves
         that were actually loaded from a checkpoint, so only new /
-        unmatched parts keep training in the outer loop."""
+        unmatched parts keep training. The reference freeze is
+        requires_grad=False, which also drops those params from the
+        inner-loop weight dict (meta_learning_system.py:221) — mirror both:
+        outer trainable mask AND the episode's inner mask/prune set."""
         self._trainable_mask["net"] = jax.tree.map(
             lambda t, was_loaded: bool(t) and not bool(was_loaded),
             self._trainable_mask["net"], loaded_mask)
-        self._jit_cache.clear()  # train steps close over the mask
+        prev_inner = self.builder.inner_mask
+        new_inner = jax.tree.map(
+            lambda was_loaded: jnp.full(
+                (), 0.0 if was_loaded else 1.0, jnp.float32), loaded_mask)
+        if prev_inner is not None:
+            new_inner = jax.tree.map(lambda a, b: a * b, prev_inner,
+                                     new_inner)
+        self.builder.inner_mask = new_inner
+        self.builder._inner_keep = jax.tree.map(
+            lambda m: bool(float(m)), new_inner)
+        self._jit_cache.clear()  # train steps close over the masks
 
     def _build_trainable_mask(self) -> PyTree:
         """Outer-loop trainability: net always (minus DAIN frozen parts),
@@ -264,11 +289,13 @@ class SceneAdaptiveInterpolation:
 
             (loss, aux), grads = jax.value_and_grad(outer_loss, has_aux=True)(
                 meta_params)
-            grads = jax.tree.map(lambda g, m: g * m, grads,
-                                 jax.tree.map(
-                                     lambda b: jnp.asarray(b, jnp.float32),
-                                     mask))
+            fmask = jax.tree.map(lambda b: jnp.asarray(b, jnp.float32), mask)
+            grads = jax.tree.map(lambda g, m: g * m, grads, fmask)
             updates, opt_state = tx.update(grads, opt_state, meta_params)
+            # mask the UPDATES too: transforms that look at params rather
+            # than grads (add_decayed_weights in the voxelflow policies)
+            # must not move frozen leaves (fix_loaded, BN buffers, loss_ctx)
+            updates = jax.tree.map(lambda u, m: u * m, updates, fmask)
             meta_params = optax.apply_updates(meta_params, updates)
             return meta_params, opt_state, loss, aux
 

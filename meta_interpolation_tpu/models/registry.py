@@ -121,7 +121,8 @@ def _load_all():
         if "voxelflow" not in _REGISTRY:
             register(ModelDef("voxelflow", _vf.init, _vf.apply,
                               _vf_normalize, _vf_denormalize, pad_multiple=64,
-                              inner_mask_fn=_vf.inner_mask))
+                              inner_mask_fn=_vf.inner_mask,
+                              outer_mask_fn=_vf.outer_mask))
     except ImportError:
         pass
     try:

@@ -16,13 +16,16 @@ reference's "norm_layer" name filter, meta_learning_system.py:222-226).
 
 Init: conv weights N(0, 0.01), zero bias (:267-271).
 Inputs are 0-255-range normalized (x−127.5)/127.5 upstream (registry).
-The bias-2×-LR ``get_optim_policies`` grouping (:307-350) is implemented in
-meta/system.make_outer_optimizer (voxelflow+Adam: torch-default betas,
-additive L2 on non-bias leaves, bias at 2× lr). Documented deviation: the
-reference's voxelflow branch passes ONLY net policies to Adam
+The ``get_optim_policies`` grouping (:307-350, multipliers
+voxelflow_maml_config.py:8-10) is implemented in
+meta/system.make_outer_optimizer (voxelflow+Adam): conv weights
+[lr×1, decay×1], conv biases [lr×2, decay×0], BN scale/shift
+[lr×1, decay×1], torch-default betas; BN running stats are buffers,
+frozen via ``outer_mask`` below. Documented deviation: the reference's
+voxelflow branch passes ONLY net policies to Adam
 (meta_learning_system.py:134-136), silently leaving the Meta-SGD inner
-LRs out of the outer optimizer; here the LRs stay trainable like every
-other model (their bias-named mirrors share the 2×/no-decay policy).
+LRs out of the outer optimizer; here the LRs stay trainable on a plain
+no-decay Adam policy.
 """
 from __future__ import annotations
 
@@ -70,6 +73,18 @@ def inner_mask(params: Params) -> Params:
     def mk(name, sub):
         val = 0.0 if name.endswith("_bn") else 1.0
         return jax.tree.map(lambda x: jnp.full((), val, jnp.float32), sub)
+
+    return {name: mk(name, sub) for name, sub in params.items()}
+
+
+def outer_mask(params: Params) -> Params:
+    """BN running stats (mean/var) are torch buffers — excluded from
+    list(m.parameters()) in get_optim_policies (:321-329), so the outer
+    optimizer must never move them. Affine scale/bias stay trainable."""
+    def mk(name, sub):
+        if name.endswith("_bn"):
+            return {k: (k in ("scale", "bias")) for k in sub}
+        return jax.tree.map(lambda _: True, sub)
 
     return {name: mk(name, sub) for name, sub in params.items()}
 

@@ -127,7 +127,9 @@ def flow_projection_bounded(flow: jnp.ndarray, depth_inv=None,
 
     if not interpret:
         assert h % 8 == 0, (h, w)
-    ht = 32 if h % 32 == 0 else 8
+    # wide (HD) frames: small row tiles keep the halo'd 5-plane block +
+    # per-d stacked planes inside VMEM
+    ht = 32 if (h % 32 == 0 and w <= 1024) else 8
     halo_rows = _round8(r + 1) + 8
     col_off = 128
     # lane-align the kernel width: right-pad to the next ×128 (padded
@@ -141,6 +143,9 @@ def flow_projection_bounded(flow: jnp.ndarray, depth_inv=None,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 3, h, w128), jnp.float32),
+        compiler_params=(None if interpret else
+                         pltpu.CompilerParams(
+                             vmem_limit_bytes=64 * 2**20)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((pl.Element(1), pl.Element(5),

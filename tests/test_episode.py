@@ -221,3 +221,43 @@ def test_fast_batched_conv_same_padding():
     for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_raw)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_prune_frozen_shrinks_inner_backward():
+    """inner_mask-frozen subtrees are pruned from the support-grad backward
+    (stop_gradient INSIDE the differentiated lambda), not just zeroed:
+    the adapt jaxpr with a frozen heavy branch has fewer equations."""
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.meta.episode import EpisodeBuilder, EpisodeSpec
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+    from meta_interpolation_tpu.models import layers as L
+
+    def apply_fn(p, a, b):
+        x = (a + b) / 2
+        for i in range(4):  # heavy frozen chain
+            x = jnp.tanh(L.conv2d(p["frozen"][str(i)], x, padding=1))
+        return x + p["live"]["w"] * a
+
+    rng = jax.random.PRNGKey(0)
+    params = {"frozen": {str(i): L.conv_init(jax.random.fold_in(rng, i),
+                                             3, 3, 3) for i in range(4)},
+              "live": {"w": jnp.asarray(0.5)}}
+    mask_frozen = {"frozen": jax.tree.map(lambda _: jnp.zeros(()),
+                                          params["frozen"]),
+                   "live": {"w": jnp.ones(())}}
+    loss_fn = __import__("meta_interpolation_tpu.core.losses",
+                         fromlist=["make_loss_fn"]).make_loss_fn("1*L1")
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=1)
+    spec = EpisodeSpec(num_steps=1)
+    frames = jnp.zeros((7, 8, 8, 3))
+    lrs = opt.init_lrs(params, 1e-3)
+
+    def n_eqns(builder):
+        jx = jax.make_jaxpr(
+            lambda p, fr: builder.adapt(p, lrs, fr, spec))(params, frames)
+        return sum(1 for _ in jx.jaxpr.eqns) + len(str(jx))
+
+    masked = EpisodeBuilder(apply_fn, loss_fn, opt, inner_mask=mask_frozen)
+    unmasked = EpisodeBuilder(apply_fn, loss_fn, opt)
+    assert n_eqns(masked) < n_eqns(unmasked), (n_eqns(masked),
+                                               n_eqns(unmasked))

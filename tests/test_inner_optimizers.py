@@ -176,3 +176,40 @@ def test_voxelflow_outer_adam_policies():
     # identically — compare against the no-decay update to see decay only
     # touched the weight leaf
     assert abs(float(up2["net"]["conv"]["bias"][0]) - ub) < 1e-7
+
+
+def test_voxelflow_bn_policies_and_buffer_freeze():
+    """BN affine leaves get [1x lr, decay]; BN running stats are buffers —
+    outer-masked so weight decay cannot move them (reference
+    get_optim_policies collects only parameters(), :321-329)."""
+    import optax
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import make_outer_optimizer
+    from meta_interpolation_tpu.models import voxelflow as vf
+
+    cfg = Config(model="voxelflow", optimizer="Adam", outer_lr=1e-3,
+                 weight_decay=0.5)
+    tx = make_outer_optimizer(cfg)
+    params = {"net": {"conv1": {"kernel": jnp.ones((2, 2))},
+                      "conv1_bn": {"scale": jnp.ones((2,)),
+                                   "bias": jnp.zeros((2,)),
+                                   "mean": jnp.full((2,), 3.0),
+                                   "var": jnp.ones((2,))}},
+              "lrs": {"conv1": {"kernel": jnp.full((2, 2), 1e-5)}}}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)  # masked-out grads
+    updates, _ = tx.update(grads, state, params)
+    bn = updates["net"]["conv1_bn"]
+    # decay reaches BN scale (param 1.0, zero grad -> nonzero update)
+    assert abs(float(bn["scale"][0])) > 0
+    # the outer mask marks buffers False; train_step masks UPDATES with it,
+    # so even though add_decayed_weights produced a mean/var update here,
+    # the masked update is zero:
+    omask = vf.outer_mask(params["net"])
+    assert omask["conv1_bn"]["mean"] is False
+    assert omask["conv1_bn"]["var"] is False
+    assert omask["conv1_bn"]["scale"] is True
+    masked_mean = float(bn["mean"][0]) * float(omask["conv1_bn"]["mean"])
+    assert masked_mean == 0.0
+    # inner LRs: plain policy, no decay (zero grads -> zero update)
+    assert abs(float(updates["lrs"]["conv1"]["kernel"][0, 0])) == 0.0
