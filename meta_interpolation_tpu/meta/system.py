@@ -143,6 +143,20 @@ class SceneAdaptiveInterpolation:
         inner_mask = None
         if self.model_def.inner_mask_fn is not None:
             inner_mask = self.model_def.inner_mask_fn(net_params)
+        if (inner_mask is not None
+                and cfg.enable_inner_loop_optimizable_bn_params):
+            # reference flag (config.py:53, model_utils.py:419-535): let BN
+            # affine params adapt in the inner loop. Running stats stay
+            # frozen (eval-mode BN everywhere — PARITY.md deviation note).
+            def _unfreeze_bn_affine(path, m):
+                keys = [str(getattr(k, "key", "")) for k in path]
+                in_bn = any(k.endswith("_bn") for k in keys[:-1])
+                if in_bn and keys[-1] in ("scale", "bias"):
+                    return jnp.ones((), jnp.float32)
+                return m
+
+            inner_mask = jax.tree_util.tree_map_with_path(
+                _unfreeze_bn_affine, inner_mask)
         self.inner_mask = inner_mask
 
         # adversarial loss: discriminator lives in meta_params['loss_ctx']

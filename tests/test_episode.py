@@ -261,3 +261,20 @@ def test_prune_frozen_shrinks_inner_backward():
     unmasked = EpisodeBuilder(apply_fn, loss_fn, opt)
     assert n_eqns(masked) < n_eqns(unmasked), (n_eqns(masked),
                                                n_eqns(unmasked))
+
+
+def test_enable_inner_loop_optimizable_bn_params_flag():
+    """--enable_inner_loop_optimizable_bn_params unfreezes BN scale/bias
+    (not running stats) in the inner mask (reference config.py:53)."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    base = SceneAdaptiveInterpolation(Config(model="voxelflow"))
+    assert float(base.inner_mask["conv1_bn"]["scale"]) == 0.0
+
+    on = SceneAdaptiveInterpolation(Config(
+        model="voxelflow", enable_inner_loop_optimizable_bn_params=True))
+    m = on.inner_mask["conv1_bn"]
+    assert float(m["scale"]) == 1.0 and float(m["bias"]) == 1.0
+    assert float(m["mean"]) == 0.0 and float(m["var"]) == 0.0
+    assert float(on.inner_mask["conv1"]["kernel"]) == 1.0
