@@ -180,3 +180,32 @@ def test_snufilm_quintuplet_padding(tmp_path):
         f.write(" ".join(paths) + "\n" + " ".join(paths) + "\n")
     ds_easy = ds_lib.SNUFILM(str(root), model="cain", test_mode="easy")
     assert len(ds_easy) == 2
+
+
+def test_davis_sliding_septuplets(tmp_path):
+    """DAVIS loader (implemented for real — the reference's davis branch is
+    a latent ImportError, data/__init__.py:544-546): JPEGImages/480p layout,
+    sliding 7-frame windows with stride 2."""
+    root = tmp_path / "davis"
+    d = root / "JPEGImages" / "480p" / "bear"
+    os.makedirs(d)
+    rs = np.random.RandomState(5)
+    for i in range(11):
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            d / f"{i:05d}.jpg")
+    ds = ds_lib.DAVIS(str(root), model="cain")
+    # windows start at 0, 2, 4 (4+7=11 fits; 6+7=13 doesn't)
+    assert len(ds) == 3
+    frames, meta = ds[1]
+    assert frames.shape == (7, 8, 8, 3)
+    assert [os.path.basename(p) for p in meta["imgpaths"]] == [
+        f"{i:05d}.jpg" for i in range(2, 9)]
+
+    # flat layout (no JPEGImages/480p) also works
+    root2 = tmp_path / "flat"
+    d2 = root2 / "seq"
+    os.makedirs(d2)
+    for i in range(7):
+        Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            d2 / f"{i:03d}.png")
+    assert len(ds_lib.DAVIS(str(root2), model="cain")) == 1
