@@ -148,6 +148,17 @@ def main(argv=None):
         # `--hd <model>` benches any registered model at 1088x1920
         if len(argv) > 1:
             name = argv[1]
+            if name == "cain":
+                # route to the dedicated CAIN bench so the
+                # cain_interp_fps_1080p_bf16 metric always means the same
+                # configuration (serving=False, iters=6)
+                fps = bench_cain_interp_fps(height=1088, width=1920,
+                                            batch=1, iters=6, serving=False)
+                print(json.dumps({"metric": "cain_interp_fps_1080p_bf16",
+                                  "value": round(fps, 2),
+                                  "unit": "frames/s/chip",
+                                  "vs_baseline": round(fps, 4)}))
+                return
             # voxelflow HD: exact gather measured faster than the bounded
             # warp inside the full jitted model (BASELINE.md anomaly note)
             kw = {"warp_range": 8} if name in ("rrin", "superslomo") else {}

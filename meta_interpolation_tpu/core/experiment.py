@@ -162,6 +162,13 @@ class ExperimentBuilder:
                 mid = (f_idx(p1) + f_idx(p2)) / 2.0
                 stem = p1.rsplit("_", 1)[0] if "_" in os.path.basename(p1) \
                     else p1.rsplit(".", 1)[0]
+                if "://" in stem:
+                    # pseudo-path datasets (e.g. "synthetic://0/1") have no
+                    # on-disk home — route output into the experiment dir
+                    # instead of materialising a literal "synthetic:/" tree.
+                    rel = stem.split("://", 1)[1].replace("/", "_")
+                    stem = os.path.join(self.exp_dir, "test_output", rel)
+                    os.makedirs(os.path.dirname(stem), exist_ok=True)
                 out_path = f"{stem}_{mid:.06f}.{self.cfg.img_fmt}"
                 pred01 = np.asarray(
                     self.system.model_def.denormalize(preds[b]))

@@ -101,12 +101,20 @@ class EpisodeBuilder:
                  inner_opt: InnerOptimizer,
                  denormalize: Callable = lambda x: x,
                  inner_mask: Optional[PyTree] = None,
-                 uses_loss_ctx: bool = False):
+                 uses_loss_ctx: bool = False,
+                 outer_keep: Optional[PyTree] = None):
         self.apply_fn = apply_fn
         self.loss_fn = loss_fn
         self.inner_opt = inner_opt
         self.denormalize = denormalize
         self.inner_mask = inner_mask
+        # bool pytree like net params: True where the leaf is trainable in
+        # the OUTER loop. Under second order, inner-frozen leaves that are
+        # outer-trainable must keep their tangents through the support grad
+        # (the reference's create_graph=True retains the cross-term
+        # d(live-param support grads)/d(frozen leaf)); only leaves frozen in
+        # BOTH loops (DAIN frozen subtrees, fix_loaded) may be pruned.
+        self.outer_keep = outer_keep
         # concrete keep/freeze booleans (inner_mask is built from the param
         # tree at setup, never traced) — used by _prune_frozen inside the
         # inner-grad lambda so autodiff prunes the frozen subtrees entirely
@@ -147,16 +155,29 @@ class EpisodeBuilder:
             return grads
         return jax.tree.map(lambda g, m: g * m, grads, self.inner_mask)
 
-    def _prune_frozen(self, params):
+    def _prune_frozen(self, params, second_order: bool = False):
         """stop_gradient the inner-frozen leaves — called INSIDE the
         differentiated support-loss lambda, where it makes those grads
-        symbolic zeros and prunes their subtrees from the backward
-        (math-identical to _masked: those grads are zero either way)."""
+        symbolic zeros and prunes their subtrees from the backward.
+
+        First order: math-identical to _masked (those grads are zero either
+        way). Second order: pruning an inner-frozen but OUTER-trainable leaf
+        would drop the cross-term d(live-param support grads)/d(leaf) that
+        the reference's create_graph=True backward retains — so only leaves
+        frozen in both loops are pruned (or nothing, if no outer mask is
+        known)."""
         if self._inner_keep is None:
             return params
+        if second_order:
+            if self.outer_keep is None:
+                return params
+            keep = jax.tree.map(lambda ik, ok: bool(ik) or bool(ok),
+                                self._inner_keep, self.outer_keep)
+        else:
+            keep = self._inner_keep
         return jax.tree.map(
             lambda p, k: p if k else jax.lax.stop_gradient(p),
-            params, self._inner_keep)
+            params, keep)
 
     # -- L2F ---------------------------------------------------------------
     def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec,
@@ -227,9 +248,9 @@ class EpisodeBuilder:
             # reference whose weight dict only contains rectify params)
             with L.episode_fast_conv(not spec.second_order):
                 grads = jax.grad(
-                    lambda p: self._support_loss(self._prune_frozen(p),
-                                                 frames, spec,
-                                                 ctx_src))(grad_src)
+                    lambda p: self._support_loss(
+                        self._prune_frozen(p, spec.second_order),
+                        frames, spec, ctx_src))(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
             grads = self._masked(grads)

@@ -27,18 +27,31 @@ PyTree = Any
 
 class PlateauScheduler:
     """ReduceLROnPlateau(mode='min', factor=0.2, patience=5)
-    (reference meta_learning_system.py:144)."""
+    (reference meta_learning_system.py:144).
+
+    Matches torch's defaults: relative threshold 1e-4 ('rel' mode, min) —
+    an epoch only counts as an improvement when
+    ``metric < best * (1 - threshold)`` — and decays when the bad-epoch
+    count *exceeds* patience."""
 
     def __init__(self, init_lr: float, factor: float = 0.2, patience: int = 5,
-                 mode: str = "min"):
+                 mode: str = "min", threshold: float = 1e-4):
         self.lr = init_lr
         self.factor = factor
         self.patience = patience
+        self.threshold = threshold
         self.best = np.inf
         self.bad_epochs = 0
 
+    def _is_better(self, metric: float) -> bool:
+        # torch rel-mode for min: metric < best * (1 - threshold); the
+        # best=inf sentinel always loses to the first finite metric
+        if not np.isfinite(self.best):
+            return True
+        return metric < self.best * (1.0 - self.threshold)
+
     def step(self, metric: float) -> float:
-        if metric < self.best:
+        if self._is_better(metric):
             self.best = metric
             self.bad_epochs = 0
         else:
@@ -200,6 +213,8 @@ class SceneAdaptiveInterpolation:
         self.current_epoch = 0
         self.mesh = mesh
         self._trainable_mask = self._build_trainable_mask()
+        # second-order episodes may only prune leaves frozen in BOTH loops
+        self.builder.outer_keep = self._trainable_mask["net"]
         self._jit_cache: Dict[Any, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -249,6 +264,7 @@ class SceneAdaptiveInterpolation:
         self.builder.inner_mask = new_inner
         self.builder._inner_keep = jax.tree.map(
             lambda m: bool(float(m)), new_inner)
+        self.builder.outer_keep = self._trainable_mask["net"]
         self._jit_cache.clear()  # train steps close over the masks
 
     def _build_trainable_mask(self) -> PyTree:
@@ -426,13 +442,21 @@ class SceneAdaptiveInterpolation:
         return step(self.meta_params, frames)
 
     def epoch_end(self, val_loss: float):
-        """Plateau LR schedule hook — call once per epoch with val loss."""
+        """Plateau LR schedule hook — call once per epoch with val loss.
+
+        Fails loudly if the optax state no longer exposes
+        ``hyperparams['learning_rate']`` — a silent except here would mean
+        LR decay silently stops if optax's state shape ever changes."""
         new_lr = self.scheduler.step(val_loss)
         # optax.inject_hyperparams exposes the lr in opt_state.hyperparams
-        try:
-            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
-        except (AttributeError, TypeError):
-            pass
+        hp = getattr(self.opt_state, "hyperparams", None)
+        if hp is None or "learning_rate" not in hp:
+            raise RuntimeError(
+                "outer opt_state does not expose hyperparams['learning_rate']"
+                " — PlateauScheduler cannot inject the decayed LR; the outer"
+                " optimizer must be built with optax.inject_hyperparams"
+                f" (got state type {type(self.opt_state).__name__})")
+        hp["learning_rate"] = jnp.asarray(new_lr)
 
     # ------------------------------------------------------------------
     def state_dict(self) -> Dict[str, Any]:
