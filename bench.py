@@ -99,12 +99,69 @@ def bench_model_fps(model_name: str, height=256, width=448, batch=4,
     return batch * iters / max(t2n - tn, 1e-9)
 
 
-def bench_train_tasks_per_s(batch=4, crop=256, iters=6, warmup=2):
+def bench_model_fps_tiled(model_name: str, height=1088, width=1920,
+                          iters=4, dtype="bfloat16", limit=5e5, **apply_kw):
+    """HD fps via the reference's own eval protocol for oversized frames:
+    recursive H/W halving until each tile is under the pixel limit
+    (experiment_builder.py:103-128; core/experiment._tiled_val_iter), each
+    tile shape jit-cached once. This is how SepConv (51-tap kernel maps
+    ~450 MB/frame at 1080p) and DAIN run 1080p in the reference too — the
+    full-frame graphs exceed memory there as well."""
+    import jax
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.models import registry
+
+    md = registry.get(model_name)
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    params = jax.tree.map(
+        lambda x: x.astype(jdt) if x.dtype == jnp.float32 else x,
+        md.init(jax.random.PRNGKey(0)))
+    step = jax.jit(lambda p, a, b: md.apply(p, a, b, **apply_kw))
+
+    def tiled(a, b):
+        h, w = a.shape[1], a.shape[2]
+        if h * w <= limit:
+            out = step(params, a, b)
+            return out[0] if isinstance(out, tuple) else out
+        if h >= w:
+            return jnp.concatenate(
+                [tiled(a[:, :h // 2], b[:, :h // 2]),
+                 tiled(a[:, h // 2:], b[:, h // 2:])], axis=1)
+        return jnp.concatenate(
+            [tiled(a[:, :, :w // 2], b[:, :, :w // 2]),
+             tiled(a[:, :, w // 2:], b[:, :, w // 2:])], axis=2)
+
+    rs = np.random.RandomState(0)
+    f0 = jnp.asarray(rs.rand(1, height, width, 3), jdt)
+    f1 = jnp.asarray(rs.rand(1, height, width, 3), jdt)
+
+    def run(n):
+        a, b = f0, f1
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = tiled(a, b)
+            b = a
+            a = jnp.clip(out, 0, 1).astype(jdt)
+        _ = float(jnp.float32(a).mean())
+        return time.perf_counter() - t0
+
+    run(1)
+    tn = run(iters)
+    t2n = run(2 * iters)
+    return iters / max(t2n - tn, 1e-9)
+
+
+def bench_train_tasks_per_s(batch=4, crop=256, iters=6, warmup=2,
+                            second_order=False, num_steps=1):
     """Meta-training throughput: full-size CAIN episodes (tasks/s/chip).
 
     run_cain.sh preset: Adam outer, Meta-SGD inner LRs, 1 inner step,
     first order. Drives the system's jitted train step directly with a
     param-chained loop (marginal timing, no host sync inside the run).
+    ``second_order=True`` differentiates through the inner gradient
+    (reference create_graph=True; runs on the plain-conv episode path —
+    the fast batched-weight conv's hand-written VJP is first-order-only,
+    BASELINE.md).
     """
     import jax
     import jax.numpy as jnp
@@ -113,10 +170,12 @@ def bench_train_tasks_per_s(batch=4, crop=256, iters=6, warmup=2):
 
     cfg = Config(model="cain", batch_size=batch, crop_size=crop,
                  metasgd=True, optimizer="Adam", loss="1*L1",
-                 number_of_training_steps_per_iter=1, second_order=False,
+                 number_of_training_steps_per_iter=num_steps,
+                 second_order=second_order,
+                 first_order_to_second_order_epoch=-1,
                  dtype="bfloat16")
     system = SceneAdaptiveInterpolation(cfg)
-    spec = system._episode_spec("train", 1, False, False)
+    spec = system._episode_spec("train", num_steps, second_order, False)
     step = system._get_train_step(spec, False)
     rs = np.random.RandomState(0)
     frames = system._shard_batch(jnp.asarray(
@@ -164,8 +223,13 @@ def main(argv=None):
             kw = {"warp_range": 8} if name in ("rrin", "superslomo") else {}
             if name == "dain":
                 kw = {"proj_range": 8}
-            fps = bench_model_fps(name, height=1088, width=1920, batch=1,
-                                  iters=4, **kw)
+            if name in ("sepconv", "dain"):
+                # full-frame graphs exceed memory at 1080p (reference
+                # included) — use the reference's tiling protocol
+                fps = bench_model_fps_tiled(name, **kw)
+            else:
+                fps = bench_model_fps(name, height=1088, width=1920,
+                                      batch=1, iters=4, **kw)
             print(json.dumps({"metric": f"{name}_interp_fps_1080p_bf16",
                               "value": round(fps, 2),
                               "unit": "frames/s/chip",
@@ -178,17 +242,23 @@ def main(argv=None):
                           "vs_baseline": round(fps, 4)}))
         return
     if argv and argv[0] == "--serving":
-        # opt-in serving path: pad_multiple=8 + pre-packed scan weights
-        # (changes conv boundary context vs the reference — see
-        # cain.apply docstring; validate PSNR on a trained checkpoint)
-        fps = bench_cain_interp_fps(serving=True)
+        # opt-in serving path: pad_multiple=8 + pre-packed scan weights +
+        # fuse_pad (changes conv boundary context vs the reference — see
+        # cain.apply docstring; validate PSNR on a trained checkpoint).
+        # batch=128 is the measured throughput sweet spot: XLA's conv at
+        # 32x56x192 reaches 179 TF/s at M=128*1792 vs 146 at batch 16
+        # (scripts/conv_scan_micro.py --shapes); the sweep is sharp
+        # (B=96: 809, B=112: 778, B=128: ~1014, B=144: 683 fps).
+        fps = bench_cain_interp_fps(batch=128, iters=6, serving=True)
         print(json.dumps({"metric": "cain_interp_fps_448x256_bf16_serving",
                           "value": round(fps, 2), "unit": "frames/s/chip",
                           "vs_baseline": round(fps / 1000.0, 4)}))
         return
     if argv and argv[0] == "--train":
-        tps = bench_train_tasks_per_s()
-        print(json.dumps({"metric": "cain_meta_train_tasks_per_s_256",
+        so = "--second_order" in argv
+        tps = bench_train_tasks_per_s(second_order=so)
+        suffix = "_2nd" if so else ""
+        print(json.dumps({"metric": f"cain_meta_train_tasks_per_s_256{suffix}",
                           "value": round(tps, 2), "unit": "tasks/s/chip",
                           "vs_baseline": round(tps, 4)}))
         return

@@ -94,6 +94,13 @@ class Config:
     # Changes conv boundary context vs the reference — validate PSNR on
     # your checkpoint before serving with it.
     pad_multiple: int = 128
+    # GAN discriminator update cadence. Default (False): one update per
+    # outer iteration on the query preds. True: reference cadence — the
+    # reference updates D inside EVERY criterion call (loss.py:168-213 —
+    # per support pair x inner step, plus the query), a ~(2k+1)x higher
+    # D/G update ratio; the episode then also collects the per-step
+    # support predictions to feed those updates.
+    disc_per_forward: bool = False
 
     @property
     def num_inner_steps(self) -> int:
@@ -123,7 +130,7 @@ _BOOL_FLAGS = {
     "learnable_per_layer_per_step_inner_loop_learning_rate",
     "enable_inner_loop_optimizable_bn_params", "second_order",
     "use_multi_step_loss_optimization", "attenuate", "metasgd",
-    "use_tensorboard", "viz", "lpips", "remat",
+    "use_tensorboard", "viz", "lpips", "remat", "disc_per_forward",
 }
 
 

@@ -102,11 +102,22 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
             for k, v in obj.items() if hasattr(v, "detach")}
 
 
-def _convert_leaf(name_parts, value: np.ndarray) -> Tuple[str, np.ndarray]:
-    """Map a torch parameter leaf to (our_key, converted_array)."""
+def _convert_leaf(name_parts, value: np.ndarray,
+                  convtranspose_pred=None) -> Tuple[str, np.ndarray]:
+    """Map a torch parameter leaf to (our_key, converted_array).
+
+    ``convtranspose_pred(name_parts) -> bool`` marks ConvTranspose2d
+    weights, whose torch layout is (in, out, kh, kw) — NOT Conv2d's
+    (out, in, kh, kw) — so they need transpose (2,3,0,1) to land HWIO.
+    Shape inspection cannot distinguish the two (square kernels convert
+    silently transposed), hence the explicit name predicate
+    (ModelDef.convtranspose_pred; DAIN's PWC deconv/upfeat layers)."""
     leaf = name_parts[-1]
     if leaf == "weight":
         if value.ndim == 4:  # conv OIHW → HWIO
+            if convtranspose_pred is not None and convtranspose_pred(
+                    name_parts):
+                return "kernel", value.transpose(2, 3, 0, 1)
             return "kernel", value.transpose(2, 3, 1, 0)
         if value.ndim == 2:  # linear (out,in) → (in,out)
             return "kernel", value.transpose(1, 0)
@@ -123,16 +134,19 @@ def _convert_leaf(name_parts, value: np.ndarray) -> Tuple[str, np.ndarray]:
 
 
 def torch_state_dict_to_pytree(state_dict: Dict[str, np.ndarray],
-                               transpose_convs: bool = True) -> PyTree:
+                               transpose_convs: bool = True,
+                               convtranspose_pred=None) -> PyTree:
     """Build a nested-dict pytree from flat torch names.
 
     ``encoder.interpolate.headConv.weight`` →
     ``tree['encoder']['interpolate']['headConv']['kernel']`` (HWIO).
+    ``convtranspose_pred``: see :func:`_convert_leaf`.
     """
     tree: Dict[str, Any] = {}
     for name, value in state_dict.items():
         parts = name.split(".")
-        key, conv = _convert_leaf(parts, np.asarray(value))
+        key, conv = _convert_leaf(parts, np.asarray(value),
+                                  convtranspose_pred=convtranspose_pred)
         if key == "":
             continue
         node = tree
@@ -143,11 +157,15 @@ def torch_state_dict_to_pytree(state_dict: Dict[str, np.ndarray],
 
 
 def import_pth(path: str, target_params: PyTree,
-               return_mask: bool = False) -> PyTree:
+               return_mask: bool = False,
+               convtranspose_pred=None) -> PyTree:
     """Import released torch weights into a params tree of ours: convert then
     lossy-merge (tolerating extra / missing / mismatched keys the same way
     the reference does for its released .pth files). ``return_mask`` also
-    returns the loaded-leaf mask for ``--fix_loaded``."""
+    returns the loaded-leaf mask for ``--fix_loaded``.
+    ``convtranspose_pred``: ModelDef.convtranspose_pred — marks torch
+    ConvTranspose2d weights (see :func:`_convert_leaf`)."""
     sd = load_torch_file(path)
-    converted = torch_state_dict_to_pytree(sd)
+    converted = torch_state_dict_to_pytree(
+        sd, convtranspose_pred=convtranspose_pred)
     return lossy_merge(target_params, converted, return_mask=return_mask)

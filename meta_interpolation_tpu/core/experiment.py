@@ -124,22 +124,37 @@ class ExperimentBuilder:
                  save_images: bool = False):
         loss_meter, psnr_meter, ssim_meter = (AverageMeter(), AverageMeter(),
                                               AverageMeter())
+        lpips_meter = AverageMeter()
         limit = self.system.model_def.tile_pixel_limit
         for frames, meta in self.data.get_val_batches(total_batches):
             losses, preds = self._tiled_val_iter(np.asarray(frames), limit)
             loss_meter.update(losses["loss"])
             psnr_meter.update(losses.get("psnr", 0.0))
             ssim_meter.update(losses.get("ssim", 0.0))
+            if self.cfg.lpips:
+                # reference utils.py:195-211: LPIPS alongside PSNR/SSIM
+                # when --lpips (external package there; jax port here)
+                from ..utils.profiling import eval_lpips
+                dn = self.system.model_def.denormalize
+                lpips_meter.update(eval_lpips(
+                    np.clip(np.asarray(dn(preds)), 0, 1),
+                    np.clip(np.asarray(dn(np.asarray(frames)[:, 3])), 0, 1)))
             if save_images and self.cfg.viz:
                 from ..utils.viz import save_batch_images
                 out_root = os.path.join(self.exp_dir, self.cfg.dataset)
                 save_batch_images(preds, meta, out_root)
-        print(f"[val epoch {epoch}] loss {loss_meter.avg:.4f} "
-              f"PSNR {psnr_meter.avg:.3f} SSIM {ssim_meter.avg:.4f}")
+        msg = (f"[val epoch {epoch}] loss {loss_meter.avg:.4f} "
+               f"PSNR {psnr_meter.avg:.3f} SSIM {ssim_meter.avg:.4f}")
+        if self.cfg.lpips:
+            msg += f" LPIPS {lpips_meter.avg:.4f}"
+        print(msg)
         self._log_tb({"Loss/val": loss_meter.avg, "PSNR": psnr_meter.avg,
                       "SSIM": ssim_meter.avg}, epoch)
-        return {"loss": loss_meter.avg, "psnr": psnr_meter.avg,
-                "ssim": ssim_meter.avg}
+        out = {"loss": loss_meter.avg, "psnr": psnr_meter.avg,
+               "ssim": ssim_meter.avg}
+        if self.cfg.lpips:
+            out["lpips"] = lpips_meter.avg
+        return out
 
     def test(self):
         """×2 slow-motion synthesis: write interpolated frames with averaged

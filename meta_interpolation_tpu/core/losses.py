@@ -120,6 +120,68 @@ def load_vgg19_from_torch_state(state_dict) -> Dict[str, Any]:
     return params
 
 
+# Pretrained-weight search path. The reference's perceptual losses are
+# *defined* by torchvision weights (loss.py:19-78); with zero egress this
+# box cannot download them, so the builder searches these locations for a
+# torch state_dict of `vgg19(pretrained=True).features` (file
+# vgg19_features.pth) / `vgg16(...).features` (vgg16_features.pth):
+#   1. $MIT_VGG_WEIGHTS (a directory)
+#   2. ./pretrained_models/
+#   3. ~/.cache/meta_interpolation_tpu/weights/
+# Save one with:  torch.save(torchvision.models.vgg19(pretrained=True)
+#                            .features.state_dict(), 'vgg19_features.pth')
+VGG_WEIGHTS_ENV = "MIT_VGG_WEIGHTS"
+
+
+def _vgg_weight_search_dirs() -> List[str]:
+    import os
+    dirs = []
+    env = os.environ.get(VGG_WEIGHTS_ENV)
+    if env:
+        dirs.append(env)
+    dirs.append("pretrained_models")
+    dirs.append(os.path.expanduser("~/.cache/meta_interpolation_tpu/weights"))
+    return dirs
+
+
+def find_pretrained_vgg(name: str) -> Optional[str]:
+    """Locate ``{name}.pth`` (name ∈ vgg19_features / vgg16_features)."""
+    import os
+    for d in _vgg_weight_search_dirs():
+        p = os.path.join(d, f"{name}.pth")
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def _load_pretrained_or_warn(kind: str):
+    """Return converted pretrained params, or None with a LOUD warning —
+    training a VGG-term loss against random features silently optimizes
+    the wrong objective (VERDICT.md round-1 item 2)."""
+    from . import checkpoint as ckpt_lib
+    name = f"{kind}_features"
+    path = find_pretrained_vgg(name)
+    if path is not None:
+        sd = ckpt_lib.load_torch_file(path)
+        params = (load_vgg19_from_torch_state(sd) if kind == "vgg19"
+                  else load_vgg16_from_torch_state(sd))
+        print(f"[losses] loaded pretrained {kind} features from {path}")
+        return params
+    import sys
+    print(
+        f"\n{'!' * 72}\n"
+        f"[losses] WARNING: no pretrained {kind} weights found — the "
+        f"perceptual/Super loss will run on RANDOM-INIT features.\n"
+        f"         The reference defines these losses by torchvision "
+        f"weights (loss.py:19-78); numbers will NOT match it.\n"
+        f"         Provide {name}.pth in one of: "
+        f"{_vgg_weight_search_dirs()}\n"
+        f"         (torch.save(torchvision.models.{kind}(pretrained=True)"
+        f".features.state_dict(), '{name}.pth'))\n{'!' * 72}\n",
+        file=sys.stderr, flush=True)
+    return None
+
+
 def _conv3x3(x, p):
     out = jax.lax.conv_general_dilated(
         x, p["kernel"], (1, 1), ((1, 1), (1, 1)),
@@ -145,8 +207,8 @@ def vgg19_features(params: Dict[str, Any], x: jnp.ndarray, cut: int,
         elif kind == "relu":
             x = jax.nn.relu(x)
         else:  # pool
-            x = -jax.lax.reduce_window(-x, -jnp.inf, jax.lax.max,
-                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         if collect is not None and (idx + 1) in collect:
             feats.append(x)
     if collect is not None:
@@ -257,8 +319,8 @@ def vgg16_features(params, x):
         elif kind == "relu":
             x = jax.nn.relu(x)
         else:
-            x = -jax.lax.reduce_window(-x, -jnp.inf, jax.lax.max,
-                                       (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     return x
 
 
@@ -299,10 +361,14 @@ def make_loss_fn(spec: str,
     needs_vgg19 = any(t.loss_type.startswith("VGG") for t in terms)
     needs_vgg16 = any("Super" in t.loss_type for t in terms)
     if needs_vgg19 and vgg19_params is None:
+        vgg19_params = _load_pretrained_or_warn("vgg19")
+    if needs_vgg19 and vgg19_params is None:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         max_cut = max(_VGG_CUTS.get(t.loss_type[3:], 35)
                       for t in terms if t.loss_type.startswith("VGG"))
         vgg19_params = init_vgg19_params(rng, max_cut=max_cut)
+    if needs_vgg16 and vgg16_params is None:
+        vgg16_params = _load_pretrained_or_warn("vgg16")
     if needs_vgg16 and vgg16_params is None:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         vgg16_params = init_vgg16_params(rng)

@@ -133,7 +133,7 @@ class MetaLearningSystemDataLoader:
     (data/__init__.py:520-625): get_train_batches / get_val_batches /
     get_test_batches generators."""
 
-    def __init__(self, cfg, current_iter: int = 0):
+    def __init__(self, cfg, current_iter: int = 0, mesh_task_size: int = 1):
         from .datasets import get_dataset
         self.cfg = cfg
         self.dataset = get_dataset(cfg.dataset, cfg.data_root, cfg.model,
@@ -145,12 +145,21 @@ class MetaLearningSystemDataLoader:
                            "test": cfg.test_batch_size}
         self.num_workers = cfg.num_workers
         self.seed = cfg.random_seed
+        # episode parallelism: the jitted train step requires B divisible by
+        # the mesh task axis, so the final partial train batch is dropped
+        # (benign with shuffle — the reference's train loop is
+        # iteration-count-driven anyway). Eval/test keep every sample; a
+        # partial eval batch falls back to replicated placement
+        # (parallel/mesh.shard_task_batch).
+        self.mesh_task_size = max(1, int(mesh_task_size))
 
     def _loader(self, mode: str, epoch: int = 0) -> TaskLoader:
         self.dataset.switch_set(mode)
         loader = TaskLoader(self.dataset, self.batch_size[mode],
                             shuffle=(mode == "train"),
-                            num_workers=self.num_workers, seed=self.seed)
+                            num_workers=self.num_workers, seed=self.seed,
+                            drop_last=(mode == "train"
+                                       and self.mesh_task_size > 1))
         loader.set_epoch(epoch)
         return loader
 

@@ -41,13 +41,18 @@ def main(argv=None):
         print(f"Loading pretrained model: {cfg.pretrained_model}")
         net, loaded_mask = ckpt_lib.import_pth(
             cfg.pretrained_model, system.meta_params["net"],
-            return_mask=True)
+            return_mask=True,
+            convtranspose_pred=system.model_def.convtranspose_pred)
         system.meta_params["net"] = net
         if cfg.fix_loaded:
             system.freeze_loaded(loaded_mask)
             print("[fix_loaded] frozen the loaded parameters")
 
-    data = MetaLearningSystemDataLoader(cfg)
+    task_size = 1
+    if mesh is not None:
+        from .parallel.mesh import TASK_AXIS
+        task_size = mesh.shape[TASK_AXIS]
+    data = MetaLearningSystemDataLoader(cfg, mesh_task_size=task_size)
     builder = ExperimentBuilder(cfg, data, system)
     return builder.run_experiment()
 

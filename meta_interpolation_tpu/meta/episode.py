@@ -85,6 +85,11 @@ class EpisodeSpec:
     use_msl: bool = False
     attenuate: bool = False
     returns_aux: bool = False
+    # collect the pre-update support predictions of every inner step
+    # (aux['support_preds'], (B, steps, n_pairs, H, W, C)) — consumed by
+    # the reference-cadence GAN discriminator updates (--disc_per_forward;
+    # the reference updates D inside every criterion call, loss.py:168-213)
+    collect_support_preds: bool = False
 
 
 class EpisodeBuilder:
@@ -126,10 +131,18 @@ class EpisodeBuilder:
         # when True, meta_params['loss_ctx'] (e.g. GAN discriminator params)
         # is passed to loss_fn as the ctx kwarg — traced, never jit-stale
         self.uses_loss_ctx = uses_loss_ctx
+        # when True, apply_fn receives num_step=<inner step index> — the
+        # hook for per-step BN statistics / per-step affine params
+        # (reference MetaBatchNormLayer num_step arg,
+        # model_utils.py:482-511; layers.meta_batch_norm_apply). Query
+        # forwards use the last step index, like the reference's
+        # post-adaptation net_forward(num_step=num_steps-1).
+        self.passes_num_step = False
 
     # -- loss plumbing -----------------------------------------------------
-    def _pair_loss(self, params, f0, f1, target, loss_ctx=None):
-        out = self.apply_fn(params, f0[None], f1[None])
+    def _pair_loss(self, params, f0, f1, target, loss_ctx=None, num_step=0):
+        kw = {"num_step": num_step} if self.passes_num_step else {}
+        out = self.apply_fn(params, f0[None], f1[None], **kw)
         if isinstance(out, tuple):
             pred, aux = out
             aux = dict(aux)
@@ -142,11 +155,13 @@ class EpisodeBuilder:
             losses = self.loss_fn(pred, target[None], aux)
         return losses["total"], pred[0]
 
-    def _support_loss(self, params, frames, spec: EpisodeSpec, loss_ctx=None):
+    def _support_loss(self, params, frames, spec: EpisodeSpec, loss_ctx=None,
+                      num_step=0):
         total = 0.0
         for (i0, it, i1) in spec.support_idxs:
             loss, _ = self._pair_loss(params, frames[i0], frames[i1],
-                                      frames[it], loss_ctx)
+                                      frames[it], loss_ctx,
+                                      num_step=num_step)
             total = total + loss
         return total
 
@@ -214,7 +229,7 @@ class EpisodeBuilder:
                                          loss_ctx)
 
         if spec.num_steps == 0:
-            return net_params, jnp.zeros((0,))
+            return net_params, jnp.zeros((0,)), jnp.zeros((1, 0))
 
         q0, qt, q1 = spec.target_idxs
         opt_state = self.inner_opt.init_state(net_params)
@@ -250,18 +265,32 @@ class EpisodeBuilder:
                 grads = jax.grad(
                     lambda p: self._support_loss(
                         self._prune_frozen(p, spec.second_order),
-                        frames, spec, ctx_src))(grad_src)
+                        frames, spec, ctx_src,
+                        num_step=step_idx))(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
+            if spec.collect_support_preds:
+                # pre-update predictions of this step's support forwards —
+                # exactly the fakes the reference's criterion-internal D
+                # updates see (loss.py:168-213); stop_gradient: D updates
+                # never backprop into the episode
+                sp = jnp.stack([
+                    jax.lax.stop_gradient(self._pair_loss(
+                        params, frames[i0], frames[i1], frames[it],
+                        ctx_src, num_step=step_idx)[1])
+                    for (i0, it, i1) in spec.support_idxs])
+            else:
+                sp = jnp.zeros((0,))
             grads = self._masked(grads)
             params, opt_state = self.inner_opt.update(
                 params, grads, lrs, opt_state, step_idx)
             if collect_msl:
                 q_loss, _ = self._pair_loss(params, frames[q0], frames[q1],
-                                            frames[qt], loss_ctx)
+                                            frames[qt], loss_ctx,
+                                            num_step=step_idx)
             else:
                 q_loss = jnp.zeros(())
-            return params, opt_state, q_loss
+            return params, opt_state, q_loss, sp
 
         # Step 0 is peeled out of the scan: at that point the params are
         # still the (per-task-identical) meta init, so under the episode
@@ -271,20 +300,23 @@ class EpisodeBuilder:
         # measured 2.7x slower on TPU. Later steps use genuinely per-task
         # weights, so they stay in the scan. (With L2F attenuation the
         # init is already per-task and the peel is math-neutral.)
-        net_params, opt_state, q_loss0 = one_step(net_params, opt_state, 0)
+        net_params, opt_state, q_loss0, sp0 = one_step(net_params,
+                                                       opt_state, 0)
         if spec.num_steps > 1:
             def body(carry, step_idx):
                 p, o = carry
-                p, o, ql = one_step(p, o, step_idx)
-                return (p, o), ql
+                p, o, ql, sp = one_step(p, o, step_idx)
+                return (p, o), (ql, sp)
 
-            (net_params, _), rest = jax.lax.scan(
+            (net_params, _), (rest, sp_rest) = jax.lax.scan(
                 body, (net_params, opt_state),
                 jnp.arange(1, spec.num_steps))
             step_losses = jnp.concatenate([q_loss0[None], rest])
+            support_preds = jnp.concatenate([sp0[None], sp_rest])
         else:
             step_losses = q_loss0[None]
-        return net_params, step_losses
+            support_preds = sp0[None]
+        return net_params, step_losses, support_preds
 
     def task_episode(self, meta_params: PyTree, frames: jnp.ndarray,
                      msl_weights: jnp.ndarray, spec: EpisodeSpec,
@@ -298,24 +330,28 @@ class EpisodeBuilder:
         attenuator = meta_params.get("attenuator")
         loss_ctx = meta_params.get("loss_ctx")
         collect_msl = spec.use_msl and training
-        adapted, step_losses = self.adapt(net, lrs, frames, spec,
-                                          attenuator=attenuator,
-                                          collect_msl=collect_msl,
-                                          loss_ctx=loss_ctx)
+        adapted, step_losses, support_preds = self.adapt(
+            net, lrs, frames, spec, attenuator=attenuator,
+            collect_msl=collect_msl, loss_ctx=loss_ctx)
         q0, qt, q1 = spec.target_idxs
+        last = max(spec.num_steps - 1, 0)
         if collect_msl:
             outer_loss = jnp.sum(msl_weights[:spec.num_steps] * step_losses)
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
-                                           frames[qt], loss_ctx)
+                                           frames[qt], loss_ctx,
+                                           num_step=last)
             q_loss = jax.lax.stop_gradient(q_loss)
         else:
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
-                                           frames[qt], loss_ctx)
+                                           frames[qt], loss_ctx,
+                                           num_step=last)
             outer_loss = q_loss
         if not training:
             # eval: adapt with grads, query under no-grad (:414-423)
             outer_loss = jax.lax.stop_gradient(outer_loss)
             pred = jax.lax.stop_gradient(pred)
+        if spec.collect_support_preds:
+            return outer_loss, pred, q_loss, support_preds
         return outer_loss, pred, q_loss
 
     # -- batched -----------------------------------------------------------
@@ -336,10 +372,17 @@ class EpisodeBuilder:
         # custom_vmap rules before any linearization. Inner-gradient lambdas
         # (vmap-of-grad, which custom_vmap cannot linearize) re-disable it.
         with L.episode_fast_conv(True):
-            outer_losses, preds, q_losses = jax.vmap(one)(frames)
+            out = jax.vmap(one)(frames)
+        if spec.collect_support_preds:
+            outer_losses, preds, q_losses, support_preds = out
+        else:
+            outer_losses, preds, q_losses = out
+            support_preds = None
         mean_loss = jnp.mean(outer_losses)
         aux: Dict[str, Any] = {"preds": preds,
                                "query_loss": jnp.mean(q_losses)}
+        if support_preds is not None:
+            aux["support_preds"] = support_preds
         if with_metrics:
             qt = spec.target_idxs[1]
             dn_pred = self.denormalize(preds)
@@ -360,10 +403,10 @@ class EpisodeBuilder:
         synthesize the midpoint of (frame1, frame2). frames: (B, 4, H, W, C).
         """
         def one(task_frames):
-            adapted, _ = self.adapt(meta_params["net"], meta_params["lrs"],
-                                    task_frames, spec,
-                                    attenuator=meta_params.get("attenuator"),
-                                    loss_ctx=meta_params.get("loss_ctx"))
+            adapted, _, _ = self.adapt(
+                meta_params["net"], meta_params["lrs"], task_frames, spec,
+                attenuator=meta_params.get("attenuator"),
+                loss_ctx=meta_params.get("loss_ctx"))
             out = self.apply_fn(adapted, task_frames[1][None],
                                 task_frames[2][None])
             pred = out[0] if isinstance(out, tuple) else out

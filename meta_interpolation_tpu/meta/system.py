@@ -291,7 +291,9 @@ class SceneAdaptiveInterpolation:
         return mask
 
     def _episode_spec(self, mode: str, num_steps: int, second_order: bool,
-                      use_msl: bool) -> episode_lib.EpisodeSpec:
+                      use_msl: bool,
+                      collect_support_preds: bool = False
+                      ) -> episode_lib.EpisodeSpec:
         return episode_lib.EpisodeSpec(
             support_idxs=self.cfg.support_idxs(mode),
             target_idxs=self.cfg.target_idxs,
@@ -299,7 +301,8 @@ class SceneAdaptiveInterpolation:
             second_order=second_order,
             use_msl=use_msl,
             attenuate=self.cfg.attenuate,
-            returns_aux=self.model_def.returns_aux)
+            returns_aux=self.model_def.returns_aux,
+            collect_support_preds=collect_support_preds)
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -392,9 +395,12 @@ class SceneAdaptiveInterpolation:
         """One outer-loop update. frames: (B, T, H, W, C) numpy/jnp in model
         input space. Returns a losses dict (reference :584-606)."""
         self.current_epoch = int(epoch)
-        spec = self._episode_spec("train", self.cfg.num_inner_steps,
-                                  self._use_second_order(epoch),
-                                  self._msl_active(epoch))
+        spec = self._episode_spec(
+            "train", self.cfg.num_inner_steps,
+            self._use_second_order(epoch), self._msl_active(epoch),
+            collect_support_preds=(self.adv_state is not None
+                                   and self.cfg.disc_per_forward
+                                   and self.cfg.num_inner_steps > 0))
         msl_w = jnp.asarray(episode_lib.per_step_loss_importance(
             self.cfg.num_inner_steps, epoch, self.cfg.multi_step_loss_num_epochs))
         frames = self._shard_batch(jnp.asarray(frames))
@@ -402,14 +408,27 @@ class SceneAdaptiveInterpolation:
         self.meta_params, self.opt_state, loss, aux = step(
             self.meta_params, self.opt_state, frames, msl_w)
         if self.adv_state is not None:
-            # discriminator step on (query preds, targets) — once per outer
-            # iteration
             qt = self.cfg.target_idxs[1]
             upd = self.adv_state.jitted_update()
-            d_params, d_opt, d_loss = upd(
-                self.meta_params["loss_ctx"]["disc"], self.adv_state.opt_state,
-                aux["preds"], frames[:, qt],
-                jax.random.PRNGKey(int(epoch) * 100003 + 17))
+            d_params = self.meta_params["loss_ctx"]["disc"]
+            d_opt = self.adv_state.opt_state
+            rng = jax.random.PRNGKey(int(epoch) * 100003 + 17)
+            if "support_preds" in aux:
+                # --disc_per_forward: reference cadence — one D update per
+                # criterion call (loss.py:168-213): every (step, support
+                # pair) forward, in episode order, then the query
+                sp = aux["support_preds"]  # (B, steps, n_pairs, H, W, C)
+                for s in range(sp.shape[1]):
+                    for p, (_i0, it, _i1) in enumerate(
+                            self.cfg.support_idxs("train")):
+                        rng, r = jax.random.split(rng)
+                        d_params, d_opt, _ = upd(d_params, d_opt,
+                                                 sp[:, s, p], frames[:, it],
+                                                 r)
+            # query-pred update (the default single per-iteration update)
+            rng, r = jax.random.split(rng)
+            d_params, d_opt, d_loss = upd(d_params, d_opt,
+                                          aux["preds"], frames[:, qt], r)
             self.adv_state.params = d_params
             self.adv_state.opt_state = d_opt
             self.meta_params["loss_ctx"]["disc"] = d_params

@@ -436,3 +436,75 @@ def batch_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarra
     inv = jax.lax.rsqrt(p["var"].astype(x.dtype) + eps)
     return (x - p["mean"].astype(x.dtype)) * inv * p["scale"].astype(x.dtype) \
         + p["bias"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Per-step meta batch norm (reference MetaBatchNormLayer,
+# model_utils.py:419-535)
+# ---------------------------------------------------------------------------
+
+def meta_batch_norm_init(ch: int, num_steps: int,
+                         per_step: bool = True) -> Params:
+    """Params of the reference MetaBatchNormLayer with
+    ``use_per_step_bn_statistics``: per-inner-step running stats AND
+    per-step affine (weight ones / bias zeros), shapes (num_steps, C)
+    (model_utils.py:453-461). ``per_step=False`` gives the flat variant
+    (:463-469 — note the reference inits running_var to ZEROS there, a
+    quirk we reproduce)."""
+    if per_step:
+        return {"weight": jnp.ones((num_steps, ch)),
+                "bias": jnp.zeros((num_steps, ch)),
+                "running_mean": jnp.zeros((num_steps, ch)),
+                "running_var": jnp.ones((num_steps, ch))}
+    return {"weight": jnp.ones((ch,)), "bias": jnp.zeros((ch,)),
+            "running_mean": jnp.zeros((ch,)),
+            "running_var": jnp.zeros((ch,))}
+
+
+def meta_batch_norm_apply(p: Params, x: jnp.ndarray, num_step: int = 1,
+                          adapted: Optional[Params] = None,
+                          momentum: float = 0.1, eps: float = 1e-5,
+                          per_step: bool = True):
+    """Functional MetaBatchNormLayer.forward (model_utils.py:482-525).
+
+    The reference always calls ``F.batch_norm(..., training=True)``
+    (:519-521): normalization uses the BATCH statistics, and the
+    per-step running stats are updated in place with ``momentum`` (torch
+    updates running_var with the UNBIASED batch variance). Functionally:
+    returns ``(out, new_stats)`` where new_stats carries the updated
+    running_mean/var rows — the caller decides whether to persist them
+    (training) or drop them (eval; the reference's
+    backup/restore_backup_stats pair, :515-517, :528-533).
+
+    ``adapted``: optional {'weight','bias'} from the inner-loop weight
+    dict — when given they override the per-step affine rows, matching
+    ``params is not None`` in the reference (:484-489).
+    """
+    if adapted is not None:
+        weight, bias = adapted["weight"], adapted["bias"]
+    elif per_step:
+        weight, bias = p["weight"][num_step], p["bias"][num_step]
+    else:
+        weight, bias = p["weight"], p["bias"]
+
+    axes = tuple(range(x.ndim - 1))
+    n = x.size // x.shape[-1]
+    mean = jnp.mean(x, axes)
+    var = jnp.mean((x - mean) ** 2, axes)  # biased — normalization path
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x - mean) * inv * weight + bias
+
+    var_unbiased = var * (n / max(n - 1, 1))
+    new_stats = dict(p)
+    if per_step:
+        new_stats["running_mean"] = p["running_mean"].at[num_step].set(
+            (1 - momentum) * p["running_mean"][num_step] + momentum * mean)
+        new_stats["running_var"] = p["running_var"].at[num_step].set(
+            (1 - momentum) * p["running_var"][num_step]
+            + momentum * var_unbiased)
+    else:
+        new_stats["running_mean"] = ((1 - momentum) * p["running_mean"]
+                                     + momentum * mean)
+        new_stats["running_var"] = ((1 - momentum) * p["running_var"]
+                                    + momentum * var_unbiased)
+    return out, new_stats

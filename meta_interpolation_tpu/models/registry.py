@@ -39,6 +39,11 @@ class ModelDef:
     # (DAIN freezes everything but rectifyNet outer-side too,
     # meta_learning_system.py:96-101; sepconv subnets stay outer-trainable)
     outer_mask_fn: Optional[Callable[[Any], Any]] = None
+    # optional name_parts→bool predicate marking torch ConvTranspose2d
+    # weights in released .pth files (their (in,out,kh,kw) layout needs a
+    # different HWIO transpose than Conv2d's (out,in,kh,kw) — see
+    # core/checkpoint._convert_leaf). DAIN's PWC deconv/upfeat layers.
+    convtranspose_pred: Optional[Callable[[Any], bool]] = None
 
 
 _REGISTRY: Dict[str, ModelDef] = {}
@@ -127,10 +132,20 @@ def _load_all():
         pass
     try:
         from .dain import model as _dain
+
+        def _dain_convtranspose(name_parts):
+            # MetaDAIN's only ConvTranspose2d layers live in the PWC nets:
+            # flownets.deconv{2-6} / flownets.upfeat{3-6}
+            # (dain/PWCNet/PWCNet.py:35-38,86-125). VoxelFlow's same-named
+            # "deconv" layers are regular convs — hence the flownets guard.
+            return (len(name_parts) >= 2 and "flownets" in name_parts
+                    and name_parts[-2].startswith(("deconv", "upfeat")))
+
         if "dain" not in _REGISTRY:
             register(ModelDef("dain", _dain.init, _dain.apply,
                               _identity, _identity, pad_multiple=64,
                               inner_mask_fn=_dain.inner_mask,
-                              outer_mask_fn=_dain.outer_mask))
+                              outer_mask_fn=_dain.outer_mask,
+                              convtranspose_pred=_dain_convtranspose))
     except ImportError:
         pass

@@ -57,9 +57,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_task_batch(mesh: Mesh, frames):
     """Place a (B, T, H, W, C) batch sharded over tasks.
 
-    B must be divisible by the task-axis size; the loader guarantees this by
-    construction (batch_size is a multiple of the mesh task dim).
-    """
+    When B is not divisible by the task-axis size — the final partial batch
+    of a real dataset (TaskLoader drop_last=False at eval) — the batch is
+    placed *replicated* instead: every device runs the full small batch and
+    the results are exact, just without task parallelism for that one
+    iteration. Training loaders drop the partial tail batch instead
+    (MetaLearningSystemDataLoader passes drop_last when a mesh is active),
+    so this fallback only triggers at eval."""
+    b = np.shape(frames)[0]
+    if b % mesh.shape[TASK_AXIS]:
+        return jax.device_put(frames, replicated(mesh))
     return jax.device_put(frames, task_sharding(mesh))
 
 
@@ -100,6 +107,11 @@ def shard_task_batch_multihost(mesh: Mesh, local_frames,
         return shard_task_batch(mesh, local_frames)
     gb = (global_batch if global_batch is not None
           else local_frames.shape[0] * jax.process_count())
+    if gb % mesh.shape[TASK_AXIS]:
+        raise ValueError(
+            f"multi-host global batch {gb} must divide the task axis "
+            f"({mesh.shape[TASK_AXIS]}); size per-host batches accordingly "
+            f"(no replicated fallback is possible across hosts)")
     global_shape = (gb,) + tuple(local_frames.shape[1:])
     return jax.make_array_from_process_local_data(
         task_sharding(mesh), np.asarray(local_frames), global_shape)

@@ -61,13 +61,22 @@ class StepTimer:
         return sum(self.times) / max(1, len(self.times))
 
 
+_LPIPS_PARAMS = None
+
+
 def eval_lpips(pred, target):
     """LPIPS hook (reference utils.py:207-211, gated by --lpips).
 
-    The reference imports the external `lpips` package; unavailable here
-    (zero egress) — raises with guidance rather than silently returning
-    garbage.
+    Jax AlexNet-LPIPS port (utils/lpips.py). Pretrained weights are
+    loaded from the shared weights search path when present; otherwise a
+    loud warning fires once and random-init features are used
+    (structurally correct, not the published metric). NHWC [0,1] inputs;
+    returns the batch-mean distance.
     """
-    raise NotImplementedError(
-        "LPIPS requires the external 'lpips' package / pretrained AlexNet "
-        "weights; install it and wire a jax port or torch bridge here.")
+    global _LPIPS_PARAMS
+    from . import lpips as lpips_lib
+    if _LPIPS_PARAMS is None:
+        _LPIPS_PARAMS = lpips_lib.load_pretrained()
+        if _LPIPS_PARAMS is None:
+            _LPIPS_PARAMS = lpips_lib.init_params(jax.random.PRNGKey(0))
+    return float(jnp.mean(lpips_lib.lpips(_LPIPS_PARAMS, pred, target)))

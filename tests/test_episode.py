@@ -54,7 +54,7 @@ def test_adapt_matches_hand_unrolled_loop():
     frames = make_frames()
     spec = EpisodeSpec(num_steps=2, second_order=True)
 
-    adapted, _ = builder.adapt(params, lrs, frames, spec)
+    adapted, _, _ = builder.adapt(params, lrs, frames, spec)
 
     # hand-unrolled: two SGD steps on support loss
     p = dict(params)
@@ -156,7 +156,7 @@ def test_inner_mask_freezes_leaves():
     lrs = opt.init_lrs(params, 0.1)
     frames = make_frames()
     spec = EpisodeSpec(num_steps=1, second_order=True)
-    adapted, _ = builder.adapt(params, lrs, frames, spec)
+    adapted, _, _ = builder.adapt(params, lrs, frames, spec)
     np.testing.assert_allclose(float(adapted["w"]), 0.8, rtol=1e-7)
     assert abs(float(adapted["b"]) - 0.1) > 1e-6
 

@@ -118,3 +118,108 @@ def test_gan_loss_through_episode_ctx():
     g = jax.grad(lambda mp: builder.task_episode(
         mp, frames, jnp.ones((1,)), spec)[0])(meta)
     assert np.isfinite(float(g["net"]["w"]))
+
+
+def test_vgg19_torch_state_round_trip(tmp_path, monkeypatch):
+    """VERDICT item 9: pin the VGG19 layer-table indexing (loss.py:24-39)
+    against a locally-built torch state_dict with torchvision's
+    `features` Sequential layout, loaded through the documented weights
+    search path ($MIT_VGG_WEIGHTS)."""
+    import os
+    import torch
+    import torch.nn as nn
+    from meta_interpolation_tpu.core import losses as L
+
+    # torchvision vgg19().features architecture, same flat indices
+    mods = []
+    in_ch = 3
+    for kind, out_ch in L._VGG19_LAYERS:
+        if kind == "conv":
+            mods.append(nn.Conv2d(in_ch, out_ch, 3, padding=1))
+            in_ch = out_ch
+        elif kind == "relu":
+            mods.append(nn.ReLU(inplace=False))
+        else:
+            mods.append(nn.MaxPool2d(2, 2))
+    torch.manual_seed(0)
+    features = nn.Sequential(*mods)
+    torch.save(features.state_dict(), tmp_path / "vgg19_features.pth")
+
+    monkeypatch.setenv(L.VGG_WEIGHTS_ENV, str(tmp_path))
+    loss_fn = L.make_loss_fn("1*VGG22")
+
+    rs = np.random.RandomState(0)
+    pred = rs.rand(1, 3, 32, 32).astype(np.float32)
+    tgt = rs.rand(1, 3, 32, 32).astype(np.float32)
+
+    # torch oracle of the VGG22 term: MSE of features at module cut 8
+    # after the MeanShift normalization (loss.py:42-47)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    sub = features[:8]
+    with torch.no_grad():
+        fp = sub((torch.from_numpy(pred) - mean) / std)
+        ft = sub((torch.from_numpy(tgt) - mean) / std)
+        expected = torch.nn.functional.mse_loss(fp, ft).item()
+
+    got = loss_fn(jnp.asarray(pred.transpose(0, 2, 3, 1)),
+                  jnp.asarray(tgt.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(float(got["VGG22"]), expected, rtol=1e-4)
+    np.testing.assert_allclose(float(got["total"]), expected, rtol=1e-4)
+
+
+def test_vgg_random_init_warns_loudly(capsys):
+    """No weights anywhere → the builder must print the loud warning."""
+    import os
+    from meta_interpolation_tpu.core import losses as L
+
+    old = os.environ.pop(L.VGG_WEIGHTS_ENV, None)
+    try:
+        L.make_loss_fn("1*VGG22", rng=jax.random.PRNGKey(0))
+    finally:
+        if old is not None:
+            os.environ[L.VGG_WEIGHTS_ENV] = old
+    err = capsys.readouterr().err
+    assert "RANDOM-INIT features" in err
+
+
+def test_disc_per_forward_reference_cadence():
+    """--disc_per_forward: the episode exposes per-step support preds and
+    the system performs (steps x pairs + 1) discriminator updates per
+    outer iteration (reference updates D inside every criterion call,
+    loss.py:168-213)."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    rs = np.random.RandomState(0)
+    frames = rs.rand(2, 7, 32, 32, 3).astype(np.float32)
+    cfg = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
+                 crop_size=32, loss="1*L1+0.01*GAN",
+                 number_of_training_steps_per_iter=2,
+                 disc_per_forward=True)
+    system = SceneAdaptiveInterpolation(cfg)
+
+    calls = []
+    real_upd = system.adv_state.jitted_update()
+
+    def counting_upd(*args):
+        calls.append(1)
+        return real_upd(*args)
+
+    system.adv_state._jit_update = counting_upd
+    losses, _ = system.run_train_iter(frames, epoch=0)
+    assert np.isfinite(losses["loss"])
+    # 2 steps x 2 support pairs + 1 query update
+    assert len(calls) == 5, len(calls)
+
+    # default cadence: exactly one update
+    cfg2 = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
+                  crop_size=32, loss="1*L1+0.01*GAN",
+                  number_of_training_steps_per_iter=2)
+    system2 = SceneAdaptiveInterpolation(cfg2)
+    calls2 = []
+    real_upd2 = system2.adv_state.jitted_update()
+    system2.adv_state._jit_update = lambda *a: (calls2.append(1),
+                                                real_upd2(*a))[1]
+    system2.run_train_iter(frames, epoch=0)
+    assert len(calls2) == 1, len(calls2)

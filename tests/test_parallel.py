@@ -122,6 +122,49 @@ def test_spatial_sharded_conv_matches_dense():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_partial_batch_falls_back_to_replicated():
+    """B % task_axis != 0 (the final partial eval batch of a real dataset)
+    must not crash device_put: the batch is placed replicated and an eval
+    episode still produces the exact unsharded numbers."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    m = mesh_lib.make_mesh("8")
+    x = np.random.RandomState(0).rand(3, 7, 16, 16, 3).astype("float32")
+    arr = mesh_lib.shard_task_batch(m, jnp.asarray(x))  # 3 % 8 != 0
+    assert arr.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(arr), x)
+
+    cfg = Config(model="cain", depth=2, n_resblocks=1, batch_size=3,
+                 crop_size=16, number_of_evaluation_steps_per_iter=1)
+    plain = SceneAdaptiveInterpolation(cfg)
+    l_plain, p_plain = plain.run_validation_iter(x)
+    sharded = SceneAdaptiveInterpolation(cfg, mesh=m)
+    sharded.meta_params = jax.tree.map(jnp.asarray, plain.meta_params)
+    l_sh, p_sh = sharded.run_validation_iter(x)
+    assert abs(l_plain["psnr"] - l_sh["psnr"]) < 1e-3
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_plain),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_train_loader_drops_partial_batch_with_mesh():
+    """With a mesh active the train loader drops the tail partial batch;
+    eval keeps it (exactness)."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.data.loader import MetaLearningSystemDataLoader
+
+    cfg = Config(model="cain", dataset="synthetic", batch_size=3,
+                 val_batch_size=3, crop_size=16)
+    data = MetaLearningSystemDataLoader(cfg, mesh_task_size=8)
+    n = len(data.dataset)
+    train_batches = list(data.get_train_batches())
+    assert all(b[0].shape[0] == 3 for b in train_batches)
+    assert len(train_batches) == n // 3
+    val_batches = list(data.get_val_batches())
+    total_val = sum(b[0].shape[0] for b in val_batches)
+    assert total_val == len(data.dataset)
+
+
 def test_shard_task_batch_multihost_single_process():
     """Single-process reduction of the multi-host loader path: placement
     and values must match plain shard_task_batch."""

@@ -1,0 +1,364 @@
+"""Extended torch-oracle parity: every CPU-runnable reference surface.
+
+Round-2 coverage (VERDICT.md item 2): full VoxelFlow, DAIN S2DF, MonoNet,
+rectify net, the full PWCNet pyramid+decoders (with our correlation
+substituted on both sides — the CUDA correlation cannot run here), and
+full RRIN with the reference warp monkey-patched off ``.cuda()``. Each
+test runs the reference torch module with its own random init, converts
+the state_dict through our .pth importer, and pins our functional model's
+output against the torch output.
+"""
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout unavailable")
+
+
+def _to_nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def _ref_path():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+def _stub_cuda_extensions():
+    """The reference's pybind CUDA extensions are import-time deps of the
+    DAIN tier; none of their functions run in these tests."""
+    for name in ("filterinterpolation_cuda", "flowprojection_cuda",
+                 "depthflowprojection_cuda", "mindepthflowprojection_cuda",
+                 "correlation_cuda", "separableconv_cuda",
+                 "separableconvflow_cuda", "interpolation_cuda",
+                 "interpolationch_cuda"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _cpu_cuda_patch():
+    """Neutralize the reference's hardcoded CUDA calls for CPU oracles:
+    ``.cuda()`` → identity, ``torch.cuda.device(...)`` → no-op context,
+    ``torch.cuda.FloatTensor`` → CPU FloatTensor (PWC warp mask, :188)."""
+    import torch
+    orig_cuda = torch.Tensor.cuda
+    orig_ft = getattr(torch.cuda, "FloatTensor", None)
+    orig_dev = torch.cuda.device
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+    torch.cuda.device = lambda *_a, **_k: contextlib.nullcontext()
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        torch.cuda.device = orig_dev
+        if orig_ft is not None:
+            torch.cuda.FloatTensor = orig_ft
+
+
+@pytest.fixture(scope="module")
+def dain_ref():
+    """Reference MetaDAIN on CPU: CUDA extensions stubbed, ``.cuda()``
+    neutralized (the PWC nets build a cached grid with .cuda() in
+    __init__, PWCNet.py:145-155), numpy<1.24 alias restored."""
+    import torch
+    _ref_path()
+    _stub_cuda_extensions()
+    if not hasattr(np, "int"):
+        np.int = int  # PWCNet.py:77 uses np.cumsum(...).astype(np.int)
+    with _cpu_cuda_patch():
+        from dain.networks.DAIN import MetaDAIN
+        torch.manual_seed(7)
+        net = MetaDAIN(training=False, resume=False)
+        net.eval()
+        yield net
+
+
+def _convert(net, target, convtranspose_pred=None):
+    from meta_interpolation_tpu.core import checkpoint as ckpt
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    tree = ckpt.torch_state_dict_to_pytree(
+        sd, convtranspose_pred=convtranspose_pred)
+    return ckpt.lossy_merge(target, tree, verbose=True)
+
+
+# ---------------------------------------------------------------------------
+# VoxelFlow — full model (voxel_flow.py:231-534, pure torch, CPU-clean)
+# ---------------------------------------------------------------------------
+
+def test_voxelflow_full_matches_reference_torch():
+    import torch
+    from meta_interpolation_tpu.models import voxelflow
+
+    _ref_path()
+    from voxelflow.core.models.voxel_flow import MetaVoxelFlow
+    torch.manual_seed(4)
+    net = MetaVoxelFlow(types.SimpleNamespace(), resume=False)
+    net.eval()
+
+    rs = np.random.RandomState(4)
+    # 64-divisible input: the reference pads to x64 with a *centered*
+    # reflect split (:360-370); 64x64 keeps padding out of this test
+    x0 = (rs.rand(1, 3, 64, 64).astype(np.float32) - 0.5) * 2.0
+    x1 = (rs.rand(1, 3, 64, 64).astype(np.float32) - 0.5) * 2.0
+    with torch.no_grad(), _cpu_cuda_patch():
+        # the trilinear-sampling grid is built with .cuda() (:475-477)
+        expected = _to_nhwc(net(torch.from_numpy(x0), torch.from_numpy(x1)))
+
+    merged = _convert(net, voxelflow.init(jax.random.PRNGKey(0)))
+    got = voxelflow.apply(merged, jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                          jnp.asarray(x1.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3,
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DAIN S2DF context net (S2DF.py:148-360)
+# ---------------------------------------------------------------------------
+
+def test_s2df_matches_reference_torch():
+    import torch
+    from meta_interpolation_tpu.models.dain import s2df
+
+    _ref_path()
+    # NOTE: the reference's MetaS2DF_3dense cannot be constructed — its
+    # block1 references an undefined `Conv2dLayer` (S2DF.py:207, latent
+    # NameError). MetaDAIN actually instantiates the NON-meta S2DF_3dense
+    # for ctxNet (DAIN.py:444-445), which is what released dain_base.pth
+    # weights contain; identical layer names either way.
+    from dain.S2D_models.S2DF import S2DF_3dense
+    torch.manual_seed(5)
+    net = S2DF_3dense()
+    net.eval()
+
+    rs = np.random.RandomState(5)
+    x = rs.rand(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        expected = _to_nhwc(net(torch.from_numpy(x)))
+
+    merged = _convert(net, s2df.init(jax.random.PRNGKey(0)))
+    got = s2df.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert got.shape[-1] == expected.shape[-1] == 195
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3,
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DAIN rectify net — MetaMultipleBasicBlock_4 (BasicBlock.py:152-215)
+# ---------------------------------------------------------------------------
+
+def test_rectify_matches_reference_torch():
+    import torch
+    from meta_interpolation_tpu.models.dain import rectify
+
+    _ref_path()
+    from dain.Resblock.BasicBlock import MetaMultipleBasicBlock_4
+    torch.manual_seed(6)
+    net = MetaMultipleBasicBlock_4(16, 32)  # small channels for CPU speed
+    net.eval()
+
+    rs = np.random.RandomState(6)
+    x = rs.rand(1, 16, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        expected = _to_nhwc(net(torch.from_numpy(x)))
+
+    merged = _convert(net, rectify.init(jax.random.PRNGKey(0),
+                                        in_channels=16, intermediate=32))
+    got = rectify.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3,
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DAIN MonoNet5 filter net (DAIN.py:662-739, via MetaDAIN submodules)
+# ---------------------------------------------------------------------------
+
+def test_mononet_matches_reference_torch(dain_ref):
+    import torch
+    from meta_interpolation_tpu.models.dain import mononet
+
+    net = dain_ref
+    rs = np.random.RandomState(8)
+    x = rs.rand(1, 6, 64, 64).astype(np.float32)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        temp = net.forward_singlePath(net.initScaleNets_filter, xt, "filter")
+        f1 = net.forward_singlePath(net.initScaleNets_filter1, temp, "f1")
+        f2 = net.forward_singlePath(net.initScaleNets_filter2, temp, "f2")
+    expected1, expected2 = _to_nhwc(f1), _to_nhwc(f2)
+
+    merged = _convert(net, mononet.init(jax.random.PRNGKey(0)))
+    got1, got2 = mononet.apply(merged, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got1), expected1, rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got2), expected2, rtol=1e-3,
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# PWCNet — full pyramid + all decoder levels + context net
+# (PWCNet.py:40-319) with OUR correlation substituted on the torch side
+# (the CUDA correlation cannot run on CPU; both sides use identical cost
+# volumes, so the conv pyramid / decoders / warps / ConvTranspose
+# upsamplers are what this pins)
+# ---------------------------------------------------------------------------
+
+def test_pwcnet_matches_reference_torch(dain_ref):
+    import torch
+    from meta_interpolation_tpu.models.dain import pwcnet
+    from meta_interpolation_tpu.ops.correlation import correlation
+
+    net = dain_ref.flownets
+
+    class CorrStub(torch.nn.Module):
+        def forward(self, a, b):
+            av = jnp.asarray(a.detach().numpy().transpose(0, 2, 3, 1))
+            bv = jnp.asarray(b.detach().numpy().transpose(0, 2, 3, 1))
+            out = np.asarray(correlation(av, bv))
+            return torch.from_numpy(
+                np.ascontiguousarray(out.transpose(0, 3, 1, 2)))
+
+    orig_corr = net.corr
+    net.corr = CorrStub()
+    try:
+        rs = np.random.RandomState(9)
+        x = rs.rand(1, 6, 128, 128).astype(np.float32)
+        with torch.no_grad():
+            expected = _to_nhwc(net(torch.from_numpy(x)))
+    finally:
+        net.corr = orig_corr
+
+    def ct_pred(parts):
+        return parts[-2].startswith(("deconv", "upfeat"))
+
+    merged = _convert(net, pwcnet.init(jax.random.PRNGKey(0)),
+                      convtranspose_pred=ct_pred)
+    got = pwcnet.apply(merged,
+                       jnp.asarray(x[:, :3].transpose(0, 2, 3, 1)),
+                       jnp.asarray(x[:, 3:].transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3,
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# RRIN — full model (rrin/model.py:61-151) with warp off .cuda()
+# ---------------------------------------------------------------------------
+
+def test_rrin_full_matches_reference_torch():
+    import torch
+    import torch.nn.functional as F
+    from meta_interpolation_tpu.models import rrin as our_rrin
+
+    _ref_path()
+    import rrin.model as ref_rrin
+
+    def cpu_warp(img, flow):
+        # rrin/model.py:8-21 verbatim math, grid kept on CPU; preserves the
+        # half-pixel quirk (normx = 2(x/W - 0.5), align_corners=False)
+        _, _, H, W = img.size()
+        gridX, gridY = np.meshgrid(np.arange(W), np.arange(H))
+        gridX = torch.tensor(gridX, requires_grad=False)
+        gridY = torch.tensor(gridY, requires_grad=False)
+        u = flow[:, 0, :, :]
+        v = flow[:, 1, :, :]
+        x = gridX.unsqueeze(0).expand_as(u).float() + u
+        y = gridY.unsqueeze(0).expand_as(v).float() + v
+        normx = 2 * (x / W - 0.5)
+        normy = 2 * (y / H - 0.5)
+        grid = torch.stack((normx, normy), dim=3)
+        return F.grid_sample(img, grid, align_corners=False)
+
+    orig_warp = ref_rrin.warp
+    ref_rrin.warp = cpu_warp
+    try:
+        torch.manual_seed(10)
+        net = ref_rrin.MetaRRIN(resume=False)
+        net.eval()
+        rs = np.random.RandomState(10)
+        x0 = rs.rand(1, 3, 128, 128).astype(np.float32)
+        x1 = rs.rand(1, 3, 128, 128).astype(np.float32)
+        with torch.no_grad():
+            expected = _to_nhwc(net(torch.from_numpy(x0),
+                                    torch.from_numpy(x1)))
+    finally:
+        ref_rrin.warp = orig_warp
+
+    merged = _convert(net, our_rrin.init(jax.random.PRNGKey(0)))
+    got = our_rrin.apply(merged, jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                         jnp.asarray(x1.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3,
+                               atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Per-step MetaBatchNormLayer (model_utils.py:419-535)
+# ---------------------------------------------------------------------------
+
+def test_meta_batch_norm_matches_reference_torch():
+    import torch
+    from meta_interpolation_tpu.models import layers as L
+
+    _ref_path()
+    from model_utils import MetaBatchNormLayer
+
+    args = types.SimpleNamespace(
+        learnable_bn_gamma=True, learnable_bn_beta=True,
+        enable_inner_loop_optimizable_bn_params=False,
+        number_of_training_steps_per_iter=3)
+    torch.manual_seed(11)
+    ref = MetaBatchNormLayer(8, device="cpu", args=args,
+                             use_per_step_bn_statistics=True)
+    # make per-step affine rows distinct so the num_step indexing is pinned
+    with torch.no_grad():
+        ref.weight.copy_(torch.rand(3, 8) + 0.5)
+        ref.bias.copy_(torch.rand(3, 8) - 0.5)
+
+    ours = L.meta_batch_norm_init(8, 3)
+    ours["weight"] = jnp.asarray(ref.weight.detach().numpy())
+    ours["bias"] = jnp.asarray(ref.bias.detach().numpy())
+
+    rs = np.random.RandomState(11)
+    x = rs.rand(4, 8, 6, 5).astype(np.float32)  # NCHW for torch
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    for step in (0, 2):
+        out_ref = ref(torch.from_numpy(x), num_step=step,
+                      training=True).detach().numpy()
+        out_ours, new_stats = L.meta_batch_norm_apply(ours, x_nhwc,
+                                                      num_step=step)
+        np.testing.assert_allclose(
+            np.asarray(out_ours).transpose(0, 3, 1, 2), out_ref,
+            rtol=1e-4, atol=1e-5)
+        # the reference's F.batch_norm(training=True) updated its
+        # running stats row in place — ours must match
+        np.testing.assert_allclose(
+            np.asarray(new_stats["running_mean"][step]),
+            ref.running_mean[step].detach().numpy(), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(new_stats["running_var"][step]),
+            ref.running_var[step].detach().numpy(), rtol=1e-4, atol=1e-6)
+        ours = new_stats
+
+    # adapted-params path (params dict overrides the per-step affine)
+    w = torch.rand(8) + 0.2
+    b = torch.rand(8)
+    out_ref = ref(torch.from_numpy(x), num_step=1,
+                  params={"weight": w, "bias": b},
+                  training=True).detach().numpy()
+    out_ours, _ = L.meta_batch_norm_apply(
+        ours, x_nhwc, num_step=1,
+        adapted={"weight": jnp.asarray(w.numpy()),
+                 "bias": jnp.asarray(b.numpy())})
+    np.testing.assert_allclose(np.asarray(out_ours).transpose(0, 3, 1, 2),
+                               out_ref, rtol=1e-4, atol=1e-5)
