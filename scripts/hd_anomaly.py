@@ -116,5 +116,58 @@ def main():
               f"{dt * 1e3:.2f} ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--swapped" not in sys.argv:
     main()
+
+
+def probe_swapped():
+    """Fix candidate: call the bounded warp on logically H/W-swapped
+    tensors so the pallas call's required default layout coincides with
+    the W-major physical layout XLA gives HD conv outputs — the inserted
+    transposes should become bitcasts."""
+    import jax
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.core.compile_cache import (
+        enable_compilation_cache)
+    from meta_interpolation_tpu.ops import warp as warp_ops
+
+    enable_compilation_cache()
+    H, W = 1088, 1920
+    jdt = jnp.bfloat16
+    rs = np.random.RandomState(0)
+    f0 = jnp.asarray(rs.rand(1, H, W, 3), jdt)
+    f1 = jnp.asarray(rs.rand(1, H, W, 3), jdt)
+    mask = jnp.asarray(rs.rand(1, H, W, 1), jdt)
+    k = jnp.asarray(rs.rand(3, 3, 3, 3) * 0.1, jdt)
+
+    def conv(a):
+        return jax.lax.conv_general_dilated(
+            a, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def direct(a, b, m):
+        fl = conv(a)[..., :2] * 4.0
+        return warp_ops.voxelflow_sample(a, b, fl, m, warp_range=8)
+
+    def swapped(a, b, m):
+        fl = conv(a)[..., :2] * 4.0
+        a_t = jnp.swapaxes(a, 1, 2)
+        b_t = jnp.swapaxes(b, 1, 2)
+        m_t = jnp.swapaxes(m, 1, 2)
+        fl_t = jnp.swapaxes(fl, 1, 2)[..., ::-1]  # (fx,fy) -> (fy,fx)
+        out = warp_ops.voxelflow_sample(a_t, b_t, fl_t, m_t, warp_range=8)
+        return jnp.swapaxes(out, 1, 2)
+
+    for name, f in (("direct", direct), ("swapped", swapped)):
+        g = jax.jit(f)
+        dt = marginal(g, f0, f1, mask)
+        print(f"conv-producer sample [{name}]: {dt * 1e3:.2f} ms",
+              flush=True)
+    # numeric equivalence
+    da = np.asarray(jax.jit(direct)(f0, f1, mask), np.float32)
+    sa = np.asarray(jax.jit(swapped)(f0, f1, mask), np.float32)
+    print("max |direct-swapped|:", float(np.abs(da - sa).max()), flush=True)
+
+
+if __name__ == "__main__" and "--swapped" in sys.argv:
+    probe_swapped()
