@@ -100,13 +100,18 @@ def bench_model_fps(model_name: str, height=256, width=448, batch=4,
 
 
 def bench_model_fps_tiled(model_name: str, height=1088, width=1920,
-                          iters=4, dtype="bfloat16", limit=5e5, **apply_kw):
+                          iters=4, dtype="bfloat16", limit=5e5,
+                          tile_batch=1, **apply_kw):
     """HD fps via the reference's own eval protocol for oversized frames:
     recursive H/W halving until each tile is under the pixel limit
     (experiment_builder.py:103-128; core/experiment._tiled_val_iter), each
     tile shape jit-cached once. This is how SepConv (51-tap kernel maps
     ~450 MB/frame at 1080p) and DAIN run 1080p in the reference too — the
-    full-frame graphs exceed memory there as well."""
+    full-frame graphs exceed memory there as well.
+
+    ``tile_batch`` > 1: same-shape tiles are stacked on the batch axis and
+    run through one batched apply (equal halving yields identical tile
+    shapes) — same math, better MXU utilization than sequential calls."""
     import jax
     import jax.numpy as jnp
     from meta_interpolation_tpu.models import registry
@@ -118,18 +123,35 @@ def bench_model_fps_tiled(model_name: str, height=1088, width=1920,
         md.init(jax.random.PRNGKey(0)))
     step = jax.jit(lambda p, a, b: md.apply(p, a, b, **apply_kw))
 
-    def tiled(a, b):
-        h, w = a.shape[1], a.shape[2]
+    def split(x):
+        """Recursive halving → (list of tiles, reassembly fn)."""
+        h, w = x.shape[1], x.shape[2]
         if h * w <= limit:
-            out = step(params, a, b)
-            return out[0] if isinstance(out, tuple) else out
-        if h >= w:
-            return jnp.concatenate(
-                [tiled(a[:, :h // 2], b[:, :h // 2]),
-                 tiled(a[:, h // 2:], b[:, h // 2:])], axis=1)
-        return jnp.concatenate(
-            [tiled(a[:, :, :w // 2], b[:, :, :w // 2]),
-             tiled(a[:, :, w // 2:], b[:, :, w // 2:])], axis=2)
+            return [x], lambda outs: outs[0]
+        axis = 1 if h >= w else 2
+        half = (h if axis == 1 else w) // 2
+        a = x[:, :half] if axis == 1 else x[:, :, :half]
+        b = x[:, half:] if axis == 1 else x[:, :, half:]
+        ta, fa = split(a)
+        tb, fb = split(b)
+
+        def join(outs, na=len(ta)):
+            return jnp.concatenate([fa(outs[:na]), fb(outs[na:])],
+                                   axis=axis)
+
+        return ta + tb, join
+
+    def tiled(a, b):
+        tiles_a, join = split(a)
+        tiles_b, _ = split(b)
+        outs = []
+        for i in range(0, len(tiles_a), tile_batch):
+            ga = jnp.concatenate(tiles_a[i:i + tile_batch], axis=0)
+            gb = jnp.concatenate(tiles_b[i:i + tile_batch], axis=0)
+            out = step(params, ga, gb)
+            out = out[0] if isinstance(out, tuple) else out
+            outs.extend(out[j:j + 1] for j in range(out.shape[0]))
+        return join(outs)
 
     rs = np.random.RandomState(0)
     f0 = jnp.asarray(rs.rand(1, height, width, 3), jdt)
@@ -225,8 +247,12 @@ def main(argv=None):
                 kw = {"proj_range": 8}
             if name in ("sepconv", "dain"):
                 # full-frame graphs exceed memory at 1080p (reference
-                # included) — use the reference's tiling protocol
-                fps = bench_model_fps_tiled(name, **kw)
+                # included) — use the reference's tiling protocol, with
+                # same-shape tiles batched through one apply
+                # dain at tile_batch 8 OOMs (PWC level-6 im2col buffer
+                # hits 19 GB); 2 fits
+                tb = 2 if name == "dain" else 4
+                fps = bench_model_fps_tiled(name, tile_batch=tb, **kw)
             else:
                 fps = bench_model_fps(name, height=1088, width=1920,
                                       batch=1, iters=4, **kw)
@@ -268,7 +294,11 @@ def main(argv=None):
                                            "voxelflow") else {}
         if name == "dain":
             kw = {"proj_range": 8}
-        fps = bench_model_fps(name, **kw)
+        # measured per-model batch sweet spots @448x256 (r2 sweep:
+        # rrin B4 106 -> B8 156 fps; superslomo B4 76 -> B16 98.5;
+        # voxelflow B8 229 vs B16 194)
+        best_batch = {"rrin": 8, "voxelflow": 8, "superslomo": 16}
+        fps = bench_model_fps(name, batch=best_batch.get(name, 4), **kw)
         print(json.dumps({"metric": f"{name}_interp_fps_448x256_bf16",
                           "value": round(fps, 2), "unit": "frames/s/chip",
                           "vs_baseline": round(fps / 1000.0, 4)}))

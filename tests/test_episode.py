@@ -278,3 +278,36 @@ def test_enable_inner_loop_optimizable_bn_params_flag():
     assert float(m["scale"]) == 1.0 and float(m["bias"]) == 1.0
     assert float(m["mean"]) == 0.0 and float(m["var"]) == 0.0
     assert float(on.inner_mask["conv1"]["kernel"]) == 1.0
+
+
+def test_num_step_threading_to_apply_fn():
+    """EpisodeBuilder.passes_num_step: apply_fn receives the inner step
+    index (0..k-1) during adaptation and the LAST index for the query —
+    the reference MetaBatchNormLayer num_step convention
+    (model_utils.py:482-511)."""
+    from meta_interpolation_tpu.meta.episode import EpisodeBuilder, EpisodeSpec
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+
+    def apply_fn(params, f0, f1, num_step=0):
+        # fold num_step into the output so it is observable in the loss
+        return params["w"] * (f0 + f1) / 2.0 + 0.01 * num_step
+
+    def loss_fn(pred, target, aux=None):
+        return {"total": jnp.mean((pred - target) ** 2)}
+
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=3)
+    params = {"w": jnp.asarray(1.0)}
+    lrs = opt.init_lrs(params, 0.0)  # zero LR: params never move
+    builder = EpisodeBuilder(apply_fn, loss_fn, opt)
+    builder.passes_num_step = True
+    spec = EpisodeSpec(num_steps=3)
+    rs = np.random.RandomState(0)
+    frames = jnp.asarray(rs.rand(7, 4, 4, 3).astype(np.float32))
+
+    meta = {"net": params, "lrs": lrs}
+    _, pred, _ = builder.task_episode(meta, frames, jnp.ones((3,)), spec,
+                                      training=False)
+    # with zero inner LR the prediction is exactly apply(init, ..., last):
+    # mean frame + 0.01 * (num_steps - 1)
+    expected = np.asarray((frames[2] + frames[4]) / 2.0 + 0.01 * 2)
+    np.testing.assert_allclose(np.asarray(pred), expected, rtol=1e-6)
