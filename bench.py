@@ -249,9 +249,10 @@ def main(argv=None):
                 # full-frame graphs exceed memory at 1080p (reference
                 # included) — use the reference's tiling protocol, with
                 # same-shape tiles batched through one apply
-                # dain at tile_batch 8 OOMs (PWC level-6 im2col buffer
-                # hits 19 GB); 2 fits
-                tb = 2 if name == "dain" else 4
+                # dain: tile batching measured neutral (0.31 vs 0.33 fps
+                # at tile_batch 2; 8 OOMs in PWC's level-6 buffer) — keep
+                # sequential tiles. sepconv: 3.73 -> 4.97 fps at 4.
+                tb = 1 if name == "dain" else 4
                 fps = bench_model_fps_tiled(name, tile_batch=tb, **kw)
             else:
                 fps = bench_model_fps(name, height=1088, width=1920,
