@@ -101,6 +101,11 @@ class Config:
     # D/G update ratio; the episode then also collects the per-step
     # support predictions to feed those updates.
     disc_per_forward: bool = False
+    # second-order inner-grad convs as pure tap-einsums (no grouped convs
+    # in the double-backward; outer grads bit-equivalent — pinned by
+    # test). Opt-in: at full CAIN size the tap-slice residuals fragment
+    # HBM (measured OOM at bs4 crop 256); viable at smaller crops/batches.
+    second_order_einsum: bool = False
 
     @property
     def num_inner_steps(self) -> int:
@@ -131,6 +136,7 @@ _BOOL_FLAGS = {
     "enable_inner_loop_optimizable_bn_params", "second_order",
     "use_multi_step_loss_optimization", "attenuate", "metasgd",
     "use_tensorboard", "viz", "lpips", "remat", "disc_per_forward",
+    "second_order_einsum",
 }
 
 

@@ -90,6 +90,13 @@ class EpisodeSpec:
     # the reference-cadence GAN discriminator updates (--disc_per_forward;
     # the reference updates D inside every criterion call, loss.py:168-213)
     collect_support_preds: bool = False
+    # second-order inner-grad convs as pure tap-einsums (all derivative
+    # orders vmap-native — no grouped convs in the double-backward).
+    # OPT-IN: outer-grad equivalence is pinned by test, but at full CAIN
+    # size the tap-slice residuals fragment HBM (measured OOM at bs4
+    # crop 256 — 15.2 GB temp, 68 % fragmentation); the default plain-conv
+    # second-order path measures 11.09 tasks/s (BASELINE.md)
+    second_order_einsum: bool = False
 
 
 class EpisodeBuilder:
@@ -261,7 +268,17 @@ class EpisodeBuilder:
             # symbolic zeros and their subtrees' backward is pruned
             # (DAIN: hourglass/PWC/ctx never differentiated, mirroring the
             # reference whose weight dict only contains rectify params)
-            with L.episode_fast_conv(not spec.second_order):
+            # second order: optional "einsum" mode — a pure tap-einsum
+            # conv whose every derivative order is einsums, so
+            # differentiating THROUGH this gradient (the outer backward's
+            # HVP, with per-task weight cotangents) batches natively
+            # under the episode vmap instead of lowering to XLA grouped
+            # convs. Opt-in (see EpisodeSpec.second_order_einsum).
+            if spec.second_order:
+                mode = "einsum" if spec.second_order_einsum else False
+            else:
+                mode = True
+            with L.episode_fast_conv(mode):
                 grads = jax.grad(
                     lambda p: self._support_loss(
                         self._prune_frozen(p, spec.second_order),

@@ -302,7 +302,8 @@ class SceneAdaptiveInterpolation:
             use_msl=use_msl,
             attenuate=self.cfg.attenuate,
             returns_aux=self.model_def.returns_aux,
-            collect_support_preds=collect_support_preds)
+            collect_support_preds=collect_support_preds,
+            second_order_einsum=self.cfg.second_order_einsum)
 
     # ------------------------------------------------------------------
     # jitted programs

@@ -96,8 +96,13 @@ def _conv_norm(p: Params, x, k: int = 3, fuse_pad: bool = False):
     ``fuse_pad``: serving-mode option — zero `SAME` padding fused into the
     conv instead of the reference's reflect pad (each reflect pad is an
     extra HBM round-trip XLA cannot fuse into the conv; the body has 122
-    of them). Interior pixels are identical; only the conv boundary
-    context changes (same deviation class as ``pad_multiple=8``).
+    of them). The conv boundary context changes (same deviation class as
+    ``pad_multiple=8``) — and because the CA layers pool globally, the
+    border difference couples into EVERY pixel, so serving-vs-exact
+    deviation is small-but-global on trained weights and unbounded on
+    random init (measured: random-init serving-vs-exact PSNR ≈ 9 dB —
+    meaningless as a quality signal). Always validate serving-mode PSNR
+    on the trained checkpoint.
     """
     if fuse_pad:
         return layers.conv2d(p["conv"], x, padding=k // 2)

@@ -79,17 +79,46 @@ FAST_BATCHED_CONV_ENABLED = True  # global kill switch (tests / debugging)
 
 
 class episode_fast_conv:
-    """Context manager toggling the batched-weight fast-conv trace path."""
+    """Context manager toggling the batched-weight fast-conv trace path.
 
-    def __init__(self, enable: bool = True):
+    Modes: ``False`` (plain lax.conv), ``True``/``"vmap"`` (custom_vmap +
+    custom_vjp tap-einsum rewrite — first-order only), ``"einsum"`` (pure
+    tap-einsum formulation with NO custom rules — differentiable at every
+    order and vmap-native, used inside second-order inner-grad lambdas
+    where the double-backward would otherwise lower per-task weight
+    cotangents to XLA grouped convs)."""
+
+    def __init__(self, enable=True):
         self.enable = enable
 
     def __enter__(self):
         self.prev = _EPISODE_FAST_CONV[0]
-        _EPISODE_FAST_CONV[0] = self.enable and FAST_BATCHED_CONV_ENABLED
+        mode = self.enable
+        if mode is True:
+            mode = "vmap"
+        if not FAST_BATCHED_CONV_ENABLED:
+            mode = False
+        _EPISODE_FAST_CONV[0] = mode
 
     def __exit__(self, *exc):
         _EPISODE_FAST_CONV[0] = self.prev
+
+
+def _conv3x3_einsum(x, kernel, pad: int):
+    """3x3 conv as 9 tap einsums — pure jnp, every derivative order is
+    again einsums, and vmap batches them natively (never a grouped
+    conv). Slower than lax.conv for dense forwards (K=C per tap instead
+    of 9C), so only the second-order episode path routes here."""
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    ho, wo = x.shape[1] - 2, x.shape[2] - 2
+    out = 0.0
+    for dy in range(3):
+        for dx in range(3):
+            out = out + jnp.einsum(
+                "nhwc,co->nhwo", x[:, dy:dy + ho, dx:dx + wo, :],
+                kernel[dy, dx], preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _conv3x3_raw(x, kernel, pad: int):
@@ -196,8 +225,13 @@ def conv2d(p: Params, x: jnp.ndarray, stride: int = 1,
             and groups == 1 and padding in ("VALID", "SAME", ((1, 1), (1, 1)))):
         # episode trace: route through the custom-vmap conv so per-task
         # adapted weights avoid XLA's grouped-conv lowering
-        fast = _conv3x3_valid_ad if padding == "VALID" else _conv3x3_same_ad
-        out = fast(x, kernel)
+        if _EPISODE_FAST_CONV[0] == "einsum":
+            out = _conv3x3_einsum(x, kernel,
+                                  0 if padding == "VALID" else 1)
+        else:
+            fast = (_conv3x3_valid_ad if padding == "VALID"
+                    else _conv3x3_same_ad)
+            out = fast(x, kernel)
     else:
         # no preferred_element_type: the TPU MXU accumulates bf16 dots in
         # f32 internally either way, and an f32-out + downcast pair breaks

@@ -311,3 +311,45 @@ def test_num_step_threading_to_apply_fn():
     # mean frame + 0.01 * (num_steps - 1)
     expected = np.asarray((frames[2] + frames[4]) / 2.0 + 0.01 * 2)
     np.testing.assert_allclose(np.asarray(pred), expected, rtol=1e-6)
+
+
+def test_second_order_einsum_conv_matches_plain():
+    """Second-order episodes route inner-grad convs through the pure
+    tap-einsum formulation ("einsum" mode) so the double-backward batches
+    natively; the episode loss AND outer gradients must match the plain
+    lax.conv lowering."""
+    from meta_interpolation_tpu.models import cain, layers as L
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+    from meta_interpolation_tpu.meta.episode import EpisodeBuilder, EpisodeSpec
+    from meta_interpolation_tpu.core.losses import make_loss_fn
+
+    mk = dict(depth=1, n_resgroups=1, n_resblocks=1)
+    net = cain.init(jax.random.PRNGKey(2), reduction=4, **mk)
+    opt = InnerOptimizer(rule="SGD", lr_mode="metasgd", num_steps=2)
+    mp = {"net": net, "lrs": opt.init_lrs(net, 1e-3)}
+    builder = EpisodeBuilder(
+        apply_fn=lambda p, a, b: cain.apply(p, a, b, pad_multiple=8, **mk),
+        loss_fn=make_loss_fn("1*L1"), inner_opt=opt)
+    spec = EpisodeSpec(num_steps=2, second_order=True,
+                       second_order_einsum=True)
+    frames = jax.random.uniform(jax.random.PRNGKey(3), (2, 7, 16, 16, 3))
+    msl_w = jnp.ones((2,)) / 2
+
+    def run():
+        def outer(mp):
+            loss, _ = builder.batched_episode(mp, frames, msl_w, spec,
+                                              training=True)
+            return loss
+        return jax.value_and_grad(outer)(mp)
+
+    l_fast, g_fast = run()
+    try:
+        L.FAST_BATCHED_CONV_ENABLED = False  # forces plain lax.conv paths
+        l_slow, g_slow = run()
+    finally:
+        L.FAST_BATCHED_CONV_ENABLED = True
+
+    np.testing.assert_allclose(float(l_fast), float(l_slow), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_slow)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
