@@ -145,11 +145,20 @@ class EpisodeBuilder:
         # forwards use the last step index, like the reference's
         # post-adaptation net_forward(num_step=num_steps-1).
         self.passes_num_step = False
+        # optional apply variant for eval/test QUERY forwards (the
+        # reference runs those under no_grad, which flips requires_grad-
+        # keyed behavior — DAIN's flow-projection hole filling,
+        # DepthFlowProjectionLayer.py:42). None = use apply_fn.
+        self.eval_query_apply_fn: Optional[Callable] = None
 
     # -- loss plumbing -----------------------------------------------------
-    def _pair_loss(self, params, f0, f1, target, loss_ctx=None, num_step=0):
+    def _pair_loss(self, params, f0, f1, target, loss_ctx=None, num_step=0,
+                   eval_query: bool = False):
         kw = {"num_step": num_step} if self.passes_num_step else {}
-        out = self.apply_fn(params, f0[None], f1[None], **kw)
+        fn = (self.eval_query_apply_fn
+              if eval_query and self.eval_query_apply_fn is not None
+              else self.apply_fn)
+        out = fn(params, f0[None], f1[None], **kw)
         if isinstance(out, tuple):
             pred, aux = out
             aux = dict(aux)
@@ -352,16 +361,19 @@ class EpisodeBuilder:
             collect_msl=collect_msl, loss_ctx=loss_ctx)
         q0, qt, q1 = spec.target_idxs
         last = max(spec.num_steps - 1, 0)
+        # eval queries run under no-grad in the reference (:414-423),
+        # flipping requires_grad-keyed op behavior (DAIN hole filling)
+        eq = not training
         if collect_msl:
             outer_loss = jnp.sum(msl_weights[:spec.num_steps] * step_losses)
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
                                            frames[qt], loss_ctx,
-                                           num_step=last)
+                                           num_step=last, eval_query=eq)
             q_loss = jax.lax.stop_gradient(q_loss)
         else:
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
                                            frames[qt], loss_ctx,
-                                           num_step=last)
+                                           num_step=last, eval_query=eq)
             outer_loss = q_loss
         if not training:
             # eval: adapt with grads, query under no-grad (:414-423)
@@ -424,8 +436,10 @@ class EpisodeBuilder:
                 meta_params["net"], meta_params["lrs"], task_frames, spec,
                 attenuator=meta_params.get("attenuator"),
                 loss_ctx=meta_params.get("loss_ctx"))
-            out = self.apply_fn(adapted, task_frames[1][None],
-                                task_frames[2][None])
+            # test synthesis runs under no_grad in the reference (:630-697)
+            fn = (self.eval_query_apply_fn
+                  if self.eval_query_apply_fn is not None else self.apply_fn)
+            out = fn(adapted, task_frames[1][None], task_frames[2][None])
             pred = out[0] if isinstance(out, tuple) else out
             return jax.lax.stop_gradient(pred[0])
 

@@ -206,6 +206,12 @@ class SceneAdaptiveInterpolation:
             denormalize=self.model_def.denormalize,
             inner_mask=inner_mask,
             uses_loss_ctx=self.adv_state is not None)
+        if self.model_def.eval_query_kwargs:
+            # eval/test queries run under no-grad in the reference,
+            # flipping requires_grad-keyed behavior (DAIN flow-projection
+            # hole filling — ModelDef.eval_query_kwargs)
+            self.builder.eval_query_apply_fn = self._apply_fn(
+                self.model_def.eval_query_kwargs)
 
         self.tx = make_outer_optimizer(cfg)
         self.opt_state = self.tx.init(self.meta_params)
@@ -218,9 +224,11 @@ class SceneAdaptiveInterpolation:
         self._jit_cache: Dict[Any, Callable] = {}
 
     # ------------------------------------------------------------------
-    def _apply_fn(self):
+    def _apply_fn(self, extra_kwargs: Optional[dict] = None):
         base_apply = self.model_def.apply
         kwargs = dict(self.model_kwargs)
+        if extra_kwargs:
+            kwargs.update(extra_kwargs)
 
         def apply(params, f0, f1, **kw):
             return base_apply(params, f0, f1, **{**kwargs, **kw})

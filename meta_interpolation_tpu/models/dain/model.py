@@ -90,13 +90,21 @@ def _flow_branch(params, im1, im2, time_offset):
 
 
 def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
-          proj_range=None, **_kw) -> jnp.ndarray:
+          proj_range=None, fill_holes: bool = False, **_kw) -> jnp.ndarray:
     """Interpolate the midpoint of (frame0, frame1); NHWC [0,1].
 
     ``proj_range``: optional pixel bound enabling the bounded TPU
     flow-projection kernel (exact for |t·DIV_FLOW·flow| ≤ R; the scatter
     path measured ~10 ms per 256×448 projection, the bounded kernel
-    ~0.3 ms). None = exact scatter (default; parity tests use it)."""
+    ~0.3 ms). None = exact scatter (default; parity tests use it).
+
+    ``fill_holes``: directional hole filling in the flow projections —
+    the reference enables it exactly when the flow tensor does NOT
+    require grad (DepthFlowProjectionLayer.py:42 ``fillhole = 1 if
+    requires_grad == False``), i.e. on eval/test QUERY forwards (run
+    under no_grad, meta_learning_system.py:414-423) but never inside the
+    differentiated adaptation. The episode engine passes it through
+    ModelDef.eval_query_kwargs."""
     x0, pads = layers.pad_to_multiple(frame0, 64)
     x2, _ = layers.pad_to_multiple(frame1, 64)
 
@@ -123,8 +131,10 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     flow_20 = _flow_branch(params, x2, x0, TIMESTEP)
 
     # depth-weighted projection t→0 / t→1
-    off0 = flow_projection(flow_02, depth_inv0, proj_range=proj_range)
-    off2 = flow_projection(flow_20, depth_inv2, proj_range=proj_range)
+    off0 = flow_projection(flow_02, depth_inv0, fill_hole=fill_holes,
+                           proj_range=proj_range)
+    off2 = flow_projection(flow_20, depth_inv2, fill_hole=fill_holes,
+                           proj_range=proj_range)
 
     # filter interpolation of contexts (detached offsets/filters, :756-757)
     ctx0_w = filter_interpolation(ctx0, jax.lax.stop_gradient(off0),

@@ -117,7 +117,9 @@ def _conv3x3_einsum(x, kernel, pad: int):
         for dx in range(3):
             out = out + jnp.einsum(
                 "nhwc,co->nhwo", x[:, dy:dy + ho, dx:dx + wo, :],
-                kernel[dy, dx], preferred_element_type=jnp.float32)
+                kernel[dy, dx],
+                preferred_element_type=jnp.promote_types(x.dtype,
+                                                         jnp.float32))
     return out.astype(x.dtype)
 
 
@@ -149,7 +151,8 @@ def _make_fast_conv3x3(pad: int):
                     sl = x[:, :, dy:dy + ho, dx:dx + wo, :]
                     out = out + jnp.einsum(
                         "tbhwc,tco->tbhwo", sl, kernel[:, dy, dx],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.promote_types(
+                            x.dtype, jnp.float32))
             return out.astype(x.dtype), True
         if x_b and not k_b:
             t, b = x.shape[0], x.shape[1]
@@ -174,7 +177,8 @@ def _weight_grad_3x3(x, ct, pad: int):
         x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     ho, wo = ct.shape[1], ct.shape[2]
     taps = [[jnp.einsum("nhwc,nhwo->co", x[:, dy:dy + ho, dx:dx + wo, :], ct,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.promote_types(
+                            x.dtype, jnp.float32))
              for dx in range(3)] for dy in range(3)]
     return jnp.stack([jnp.stack(r) for r in taps]).astype(x.dtype)
 
@@ -383,10 +387,11 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
     out_h, out_w = out_hw
     wh = jnp.asarray(_resize_matrix(h, out_h, align_corners), x.dtype)
     ww = jnp.asarray(_resize_matrix(w, out_w, align_corners), x.dtype)
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
     out = jnp.einsum("oh,nhwc->nowc", wh, x,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc_t)
     out = jnp.einsum("pw,nowc->nopc", ww, out,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc_t)
     return out.astype(x.dtype)
 
 

@@ -44,6 +44,12 @@ class ModelDef:
     # different HWIO transpose than Conv2d's (out,in,kh,kw) — see
     # core/checkpoint._convert_leaf). DAIN's PWC deconv/upfeat layers.
     convtranspose_pred: Optional[Callable[[Any], bool]] = None
+    # extra apply-kwargs for eval/test QUERY forwards (run under no-grad
+    # in the reference, meta_learning_system.py:414-423) — DAIN's flow
+    # projection fills holes exactly when the flow does not require grad
+    # (DepthFlowProjectionLayer.py:42), so its eval queries use
+    # {'fill_holes': True} while adaptation forwards never do.
+    eval_query_kwargs: Optional[dict] = None
 
 
 _REGISTRY: Dict[str, ModelDef] = {}
@@ -146,6 +152,7 @@ def _load_all():
                               _identity, _identity, pad_multiple=64,
                               inner_mask_fn=_dain.inner_mask,
                               outer_mask_fn=_dain.outer_mask,
-                              convtranspose_pred=_dain_convtranspose))
+                              convtranspose_pred=_dain_convtranspose,
+                              eval_query_kwargs={"fill_holes": True}))
     except ImportError:
         pass

@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _compute_dtype(dtype) -> jnp.dtype:
+    """Index/weight math runs at >= f32 precision: bf16 inputs upcast
+    (sub-pixel weights need f32 mantissa), f64 stays f64 (parity oracles
+    run the whole pipeline in doubles)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def _gather_pixels(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
                    padding_mode: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather img[b, iy, ix, :] with integer indices.
@@ -50,8 +57,9 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     img: (N, H, W, C); grid: (N, Ho, Wo, 2) with (x, y) in [-1, 1].
     """
     n, h, w, c = img.shape
-    gx = grid[..., 0].astype(jnp.float32)
-    gy = grid[..., 1].astype(jnp.float32)
+    ct = _compute_dtype(grid.dtype)
+    gx = grid[..., 0].astype(ct)
+    gy = grid[..., 1].astype(ct)
     if align_corners:
         ix = (gx + 1.0) * 0.5 * (w - 1)
         iy = (gy + 1.0) * 0.5 * (h - 1)
@@ -101,8 +109,9 @@ def grid_sample_bounded(img: jnp.ndarray, grid: jnp.ndarray,
     rescale + validity mask reproduces 'zeros').
     """
     n, h, w, c = img.shape
-    gx = grid[..., 0].astype(jnp.float32)
-    gy = grid[..., 1].astype(jnp.float32)
+    ct = _compute_dtype(grid.dtype)
+    gx = grid[..., 0].astype(ct)
+    gy = grid[..., 1].astype(ct)
     if align_corners:
         ix = (gx + 1.0) * 0.5 * (w - 1)
         iy = (gy + 1.0) * 0.5 * (h - 1)
@@ -116,8 +125,8 @@ def grid_sample_bounded(img: jnp.ndarray, grid: jnp.ndarray,
         # zeros: mask out samples whose 2x2 support is fully outside
         inb = ((ix > -1.0) & (ix < w) & (iy > -1.0) & (iy < h))
 
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=ct)[None, None, :]
+    ys = jnp.arange(h, dtype=ct)[None, :, None]
     r = max_displacement
     dy = jnp.clip(iy - ys, -r, r - 1)
     dx = jnp.clip(ix - xs, -r, r - 1)
@@ -146,10 +155,10 @@ def grid_sample_bounded(img: jnp.ndarray, grid: jnp.ndarray,
         iy0 = jnp.floor(iy)
         wx0, wx1 = (1 - (ix - ix0)), (ix - ix0)
         wy0, wy1 = (1 - (iy - iy0)), (iy - iy0)
-        mx0 = ((ix0 >= 0) & (ix0 <= w - 1)).astype(jnp.float32)
-        mx1 = ((ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)).astype(jnp.float32)
-        my0 = ((iy0 >= 0) & (iy0 <= h - 1)).astype(jnp.float32)
-        my1 = ((iy0 + 1 >= 0) & (iy0 + 1 <= h - 1)).astype(jnp.float32)
+        mx0 = ((ix0 >= 0) & (ix0 <= w - 1)).astype(ct)
+        mx1 = ((ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)).astype(ct)
+        my0 = ((iy0 >= 0) & (iy0 <= h - 1)).astype(ct)
+        my1 = ((iy0 + 1 >= 0) & (iy0 + 1 <= h - 1)).astype(ct)
         mass = (wy0 * my0 + wy1 * my1) * (wx0 * mx0 + wx1 * mx1)
         out = out * mass.astype(out.dtype)[..., None]
         out = jnp.where(inb[..., None], out, 0.0)
@@ -225,10 +234,11 @@ def backward_warp(img: jnp.ndarray, flow: jnp.ndarray,
     and DAIN's interpolation op.
     """
     n, h, w, _ = img.shape
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    ix = xs + flow[..., 0].astype(jnp.float32)
-    iy = ys + flow[..., 1].astype(jnp.float32)
+    ct = _compute_dtype(flow.dtype)
+    xs = jnp.arange(w, dtype=ct)[None, None, :]
+    ys = jnp.arange(h, dtype=ct)[None, :, None]
+    ix = xs + flow[..., 0].astype(ct)
+    iy = ys + flow[..., 1].astype(ct)
     if align_corners:
         gx = 2.0 * ix / (w - 1) - 1.0
         gy = 2.0 * iy / (h - 1) - 1.0
@@ -249,10 +259,11 @@ def backward_warp_rrin(img: jnp.ndarray, flow: jnp.ndarray,
     the host every call — here it's constant-folded by XLA.
     """
     n, h, w, _ = img.shape
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    x = xs + flow[..., 0].astype(jnp.float32)
-    y = ys + flow[..., 1].astype(jnp.float32)
+    ct = _compute_dtype(flow.dtype)
+    xs = jnp.arange(w, dtype=ct)[None, None, :]
+    ys = jnp.arange(h, dtype=ct)[None, :, None]
+    x = xs + flow[..., 0].astype(ct)
+    y = ys + flow[..., 1].astype(ct)
     gx = 2.0 * (x / w - 0.5)
     gy = 2.0 * (y / h - 0.5)
     return sample(img, jnp.stack([gx, gy], axis=-1),

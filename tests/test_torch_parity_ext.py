@@ -50,21 +50,28 @@ import contextlib
 def _cpu_cuda_patch():
     """Neutralize the reference's hardcoded CUDA calls for CPU oracles:
     ``.cuda()`` → identity, ``torch.cuda.device(...)`` → no-op context,
-    ``torch.cuda.FloatTensor`` → CPU FloatTensor (PWC warp mask, :188)."""
+    ``torch.cuda.FloatTensor`` → CPU FloatTensor (PWC warp mask, :188),
+    current_device/current_stream/stream/synchronize → no-ops (MetaDAIN
+    forward, DAIN.py:508-512,556-583)."""
     import torch
+    saved = {n: getattr(torch.cuda, n, None)
+             for n in ("FloatTensor", "device", "current_device",
+                       "current_stream", "stream", "synchronize")}
     orig_cuda = torch.Tensor.cuda
-    orig_ft = getattr(torch.cuda, "FloatTensor", None)
-    orig_dev = torch.cuda.device
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.cuda.FloatTensor = torch.FloatTensor
     torch.cuda.device = lambda *_a, **_k: contextlib.nullcontext()
+    torch.cuda.current_device = lambda: -1
+    torch.cuda.current_stream = lambda *_a, **_k: None
+    torch.cuda.stream = lambda *_a, **_k: contextlib.nullcontext()
+    torch.cuda.synchronize = lambda *_a, **_k: None
     try:
         yield
     finally:
         torch.Tensor.cuda = orig_cuda
-        torch.cuda.device = orig_dev
-        if orig_ft is not None:
-            torch.cuda.FloatTensor = orig_ft
+        for n, v in saved.items():
+            if v is not None:
+                setattr(torch.cuda, n, v)
 
 
 @pytest.fixture(scope="module")
@@ -362,3 +369,110 @@ def test_meta_batch_norm_matches_reference_torch():
                  "bias": jnp.asarray(b.numpy())})
     np.testing.assert_allclose(np.asarray(out_ours).transpose(0, 3, 1, 2),
                                out_ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DAIN — COMPOSED full forward (DAIN.py:495-646) with our native ops
+# substituted on the torch side (the CUDA extensions cannot run on CPU;
+# both sides use identical projection/filter-interp values, so this pins
+# the entire composition: padding, depth/context/filter paths, bidirectional
+# PWC flows x div_flow x timestep, depth-weighted projection with eval
+# hole-filling, filter interpolation, rectification, unpadding)
+# ---------------------------------------------------------------------------
+
+def test_dain_composed_forward_matches_reference_torch(dain_ref):
+    import torch
+    # NOTE: `import dain.networks.DAIN` resolves the attribute to the DAIN
+    # *class* (the package __init__ star-imports shadow the submodule) —
+    # grab the real module object from sys.modules
+    ref_dain_mod = sys.modules["dain.networks.DAIN"]
+    from meta_interpolation_tpu.models.dain import model as our_dain
+    from meta_interpolation_tpu.ops.flow_projection import flow_projection
+    from meta_interpolation_tpu.ops.filter_interpolation import (
+        filter_interpolation)
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+    def j2t(a):
+        return torch.from_numpy(
+            np.ascontiguousarray(np.asarray(a).transpose(0, 3, 1, 2)))
+
+    class DepthFlowProjStub(torch.nn.Module):
+        def __init__(self, requires_grad=True):
+            super().__init__()
+            self.fill = not requires_grad  # DepthFlowProjectionLayer.py:42
+
+        def forward(self, flow, depth_inv):
+            out = flow_projection(t2j(flow), t2j(depth_inv),
+                                  fill_hole=self.fill)
+            return j2t(out)
+
+    class FilterInterpStub(torch.nn.Module):
+        def forward(self, img, offset, filt):
+            return j2t(filter_interpolation(t2j(img), t2j(offset),
+                                            t2j(filt)))
+
+    from meta_interpolation_tpu.ops.correlation import correlation
+
+    class CorrStub(torch.nn.Module):
+        def forward(self, a, b):
+            out = np.asarray(correlation(t2j(a), t2j(b)))
+            return torch.from_numpy(
+                np.ascontiguousarray(out.transpose(0, 3, 1, 2)))
+
+    # float64 on BOTH sides: in f32, flow values within conv-noise (~1e-6)
+    # of integer cell boundaries flip floor/scatter decisions between
+    # frameworks, producing ~3.5 % locally-large mismatches that are
+    # discretization artifacts, not math differences. Doubles make the
+    # composition bit-stable.
+    import copy
+    net = copy.deepcopy(dain_ref).double()
+    net.eval()
+    rs = np.random.RandomState(12)
+    x0 = rs.rand(1, 3, 64, 64)
+    x2 = rs.rand(1, 3, 64, 64)
+
+    saved = (ref_dain_mod.DepthFlowProjectionModule,
+             ref_dain_mod.FilterInterpolationModule, net.flownets.corr)
+    ref_dain_mod.DepthFlowProjectionModule = DepthFlowProjStub
+    ref_dain_mod.FilterInterpolationModule = FilterInterpStub
+    net.flownets.corr = CorrStub()
+    @contextlib.contextmanager
+    def enable_x64():
+        old = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", old)
+
+    try:
+        with torch.no_grad(), _cpu_cuda_patch(), enable_x64():
+            # PWC caches a float32 grid at __init__ — redo in doubles;
+            # the warp mask is built via torch.cuda.FloatTensor
+            # (PWCNet.py:188), so that alias must be double too
+            net.flownets.grid = net.flownets.grid.double()
+            torch.cuda.FloatTensor = torch.DoubleTensor
+            stacked = torch.stack([torch.from_numpy(x0),
+                                   torch.from_numpy(x2)])
+            _, out_ref = net(stacked)
+            expected = _to_nhwc(out_ref)
+            assert np.all(np.isfinite(expected)), "oracle non-finite"
+
+            merged = _convert(
+                net, jax.tree.map(lambda x: x.astype(jnp.float64),
+                                  our_dain.init(jax.random.PRNGKey(0))),
+                convtranspose_pred=lambda parts: (
+                    "flownets" in parts
+                    and parts[-2].startswith(("deconv", "upfeat"))))
+            got = our_dain.apply(merged,
+                                 jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                                 jnp.asarray(x2.transpose(0, 2, 3, 1)),
+                                 fill_holes=True)  # no_grad => fillhole
+    finally:
+        (ref_dain_mod.DepthFlowProjectionModule,
+         ref_dain_mod.FilterInterpolationModule,
+         net.flownets.corr) = saved
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6,
+                               atol=1e-7)
