@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 FILTER_SIZE = 4
 
+# combined-16-tap-gather temporary size above which the op accumulates
+# tap-by-tap instead (see below); tests monkeypatch this to pin both paths
+_COMBINED_GATHER_BYTES = 64 * 2**20
+
 
 def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
                          filters: jnp.ndarray) -> jnp.ndarray:
@@ -48,9 +52,6 @@ def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
 
     flat = img.reshape(n, h * w, c)
 
-    # single combined gather for all 16 taps (16 separate take_along_axis
-    # calls measured ~25% slower — per-gather launch overhead on TPU), then
-    # one weighted reduction over the tap axis
     idxs = []
     wgts = []
     for j in range(fs):
@@ -61,8 +62,27 @@ def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
             wcol = (1.0 - alpha) if i < fs // 2 else alpha
             idxs.append(row * w + col)
             wgts.append(filters[..., j * fs + i, None] * wrow * wcol)
-    idx = jnp.stack(idxs, axis=1).reshape(n, -1, 1)
-    vals = jnp.take_along_axis(flat, idx, axis=1).reshape(n, fs * fs, h, w, c)
-    out = jnp.sum(vals * jnp.stack(wgts, axis=1), axis=1)
+
+    if n * h * w * fs * fs * c * img.dtype.itemsize <= _COMBINED_GATHER_BYTES:
+        # single combined gather for all 16 taps (16 separate
+        # take_along_axis calls measured ~25% slower standalone —
+        # per-gather launch overhead on TPU), one weighted reduction
+        idx = jnp.stack(idxs, axis=1).reshape(n, -1, 1)
+        vals = jnp.take_along_axis(flat, idx,
+                                   axis=1).reshape(n, fs * fs, h, w, c)
+        out = jnp.sum(vals * jnp.stack(wgts, axis=1), axis=1)
+    else:
+        # wide-channel inputs (DAIN ctx: 196 ch → the combined gather is a
+        # ~720 MB temporary): under memory pressure XLA rewrites that
+        # gather into a serialized while-loop of dynamic-update-slices
+        # (measured +80 ms inside the composed DAIN forward, HLO
+        # %wide.body.*.sunk) — accumulate tap-by-tap so the peak
+        # temporary is one tap (~45 MB) and the normal gather emitter
+        # stays in play
+        out = jnp.zeros((n, h, w, c), img.dtype)
+        for idx_t, w_t in zip(idxs, wgts):
+            vals = jnp.take_along_axis(flat, idx_t.reshape(n, -1, 1),
+                                       axis=1).reshape(n, h, w, c)
+            out = out + vals * w_t
 
     return jnp.where(valid[..., None], out, img)

@@ -143,6 +143,25 @@ def test_filter_interpolation_matches_brute_force():
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-6)
 
 
+def test_filter_interpolation_chunked_path_matches(monkeypatch):
+    # wide-channel inputs take the tap-by-tap accumulation branch (the
+    # combined 16-tap gather is a ~720 MB temporary at DAIN ctx shapes
+    # and triggers XLA's serialized while-loop gather rewrite in the
+    # composed forward) — pin it numerically against the combined branch
+    from meta_interpolation_tpu.ops import filter_interpolation as fi_mod
+    rs = np.random.RandomState(11)
+    img = rs.rand(2, 6, 7, 5).astype(np.float32)
+    flow = (rs.rand(2, 6, 7, 2).astype(np.float32) * 3 - 1.5)
+    filters = rs.rand(2, 6, 7, 16).astype(np.float32)
+    combined = filter_interpolation(jnp.asarray(img), jnp.asarray(flow),
+                                    jnp.asarray(filters))
+    monkeypatch.setattr(fi_mod, "_COMBINED_GATHER_BYTES", 0)
+    chunked = fi_mod.filter_interpolation(jnp.asarray(img), jnp.asarray(flow),
+                                          jnp.asarray(filters))
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(combined),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_filter_interpolation_differentiable():
     rs = np.random.RandomState(5)
     img = jnp.asarray(rs.rand(1, 5, 5, 2), jnp.float32)
