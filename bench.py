@@ -297,8 +297,11 @@ def main(argv=None):
             kw = {"proj_range": 8}
         # measured per-model batch sweet spots @448x256 (r2 sweep:
         # rrin B4 106 -> B8 156 fps; superslomo B4 76 -> B16 98.5;
-        # voxelflow B8 229 vs B16 194)
-        best_batch = {"rrin": 8, "voxelflow": 8, "superslomo": 16}
+        # voxelflow B8 229 vs B16 194; dain B1 93.5 ms/frame vs B4
+        # 215 ms/frame — its filter-interp gathers cost per-row, so
+        # batching multiplies the dominant term)
+        best_batch = {"rrin": 8, "voxelflow": 8, "superslomo": 16,
+                      "dain": 1}
         fps = bench_model_fps(name, batch=best_batch.get(name, 4), **kw)
         print(json.dumps({"metric": f"{name}_interp_fps_448x256_bf16",
                           "value": round(fps, 2), "unit": "frames/s/chip",

@@ -25,8 +25,15 @@ import jax.numpy as jnp
 FILTER_SIZE = 4
 
 # combined-16-tap-gather temporary size above which the op accumulates
-# tap-by-tap instead (see below); tests monkeypatch this to pin both paths
-_COMBINED_GATHER_BYTES = 64 * 2**20
+# tap-by-tap instead (see below); tests monkeypatch this to pin both paths.
+# 32 MB: at batch 4 the combined path's s32 index tensor (29 MB) already
+# triggers XLA's while-loop gather rewrite
+_COMBINED_GATHER_BYTES = 32 * 2**20
+
+# per-gather temporary cap for the tap-chunked branch: channels are slabbed
+# so a single tap's gathered values never exceed this at any batch/tile
+# size (180 MB tap temps at batch 4 loopified just like the combined path)
+_TAP_SLAB_BYTES = 48 * 2**20
 
 
 def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
@@ -76,13 +83,20 @@ def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
         # ~720 MB temporary): under memory pressure XLA rewrites that
         # gather into a serialized while-loop of dynamic-update-slices
         # (measured +80 ms inside the composed DAIN forward, HLO
-        # %wide.body.*.sunk) — accumulate tap-by-tap so the peak
-        # temporary is one tap (~45 MB) and the normal gather emitter
-        # stays in play
-        out = jnp.zeros((n, h, w, c), img.dtype)
-        for idx_t, w_t in zip(idxs, wgts):
-            vals = jnp.take_along_axis(flat, idx_t.reshape(n, -1, 1),
-                                       axis=1).reshape(n, h, w, c)
-            out = out + vals * w_t
+        # %wide.body.*.sunk) — accumulate tap-by-tap, slabbing channels so
+        # the per-gather temporary stays under _TAP_SLAB_BYTES at any
+        # batch/tile size, keeping the normal gather emitter in play
+        cs = max(1, min(c, _TAP_SLAB_BYTES
+                        // (n * h * w * img.dtype.itemsize)))
+        slabs = []
+        for c0 in range(0, c, cs):
+            sl = flat[:, :, c0:c0 + cs]
+            acc = jnp.zeros((n, h, w, sl.shape[-1]), img.dtype)
+            for idx_t, w_t in zip(idxs, wgts):
+                vals = jnp.take_along_axis(sl, idx_t.reshape(n, -1, 1),
+                                           axis=1)
+                acc = acc + vals.reshape(n, h, w, -1) * w_t
+            slabs.append(acc)
+        out = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, -1)
 
     return jnp.where(valid[..., None], out, img)

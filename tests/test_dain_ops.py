@@ -160,6 +160,13 @@ def test_filter_interpolation_chunked_path_matches(monkeypatch):
                                           jnp.asarray(filters))
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(combined),
                                rtol=1e-6, atol=1e-6)
+    # multi-slab: cap the per-gather temporary at 2 channels' worth
+    monkeypatch.setattr(fi_mod, "_TAP_SLAB_BYTES",
+                        2 * 2 * 6 * 7 * np.dtype(np.float32).itemsize)
+    slabbed = fi_mod.filter_interpolation(jnp.asarray(img), jnp.asarray(flow),
+                                          jnp.asarray(filters))
+    np.testing.assert_allclose(np.asarray(slabbed), np.asarray(combined),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_filter_interpolation_differentiable():
