@@ -13,27 +13,34 @@ source through unchanged (:153-157).
 
 Key simplification: with filter_size=4 the quadrant assignment is static —
 window rows/cols {0,1} are the T/L half, {2,3} the B/R half — so the op is
-16 gathers with closed-form weights. XLA lowers the gathers to TPU
-dynamic-slices; autodiff provides the reference's three backward kernels
-(input scatter-add, flow via α/β, filter via gathered products).
+closed-form weights times a gathered 4×4 window. Autodiff provides the
+reference's three backward kernels (input scatter-add, flow via α/β,
+filter via gathered products).
+
+TPU formulation: ONE ``lax.gather`` of whole (4, 4, C) windows from an
+edge-padded copy of the source. TPU gathers cost per gathered *row*
+(~7-10 ns independent of row width), so fetching 4-row windows is ~4×
+fewer DMAs than the 16 per-tap row gathers this op previously issued —
+measured 93.5 → 88.1 ms on the composed DAIN forward at 448×256 (and the
+~720 MB window temporary survives composition without XLA's while-loop
+gather rewrite, unlike same-sized per-tap index tensors). Channels are
+slabbed so the window temporary stays under ``_WINDOW_SLAB_BYTES`` at
+large batch/tile sizes where a single gather temp would risk OOM or
+loopification.
 """
 from __future__ import annotations
 
 import jax
+import jax.lax as lax
 import jax.numpy as jnp
 
 FILTER_SIZE = 4
 
-# combined-16-tap-gather temporary size above which the op accumulates
-# tap-by-tap instead (see below); tests monkeypatch this to pin both paths.
-# 32 MB: at batch 4 the combined path's s32 index tensor (29 MB) already
-# triggers XLA's while-loop gather rewrite
-_COMBINED_GATHER_BYTES = 32 * 2**20
-
-# per-gather temporary cap for the tap-chunked branch: channels are slabbed
-# so a single tap's gathered values never exceed this at any batch/tile
-# size (180 MB tap temps at batch 4 loopified just like the combined path)
-_TAP_SLAB_BYTES = 48 * 2**20
+# per-gather cap on the (N*H*W, 4, 4, cs) window temporary; channels are
+# slabbed above it. 768 MB accommodates the full 196-ch DAIN ctx gather at
+# batch-1 448×256 (~720 MB — measured fastest unslabbed); tests monkeypatch
+# this to pin the multi-slab path.
+_WINDOW_SLAB_BYTES = 768 * 2**20
 
 
 def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
@@ -57,46 +64,41 @@ def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
     ix_l = x2i + 1 - fs // 2  # window col origin (⌊x2⌋ − 1)
     iy_t = y2i + 1 - fs // 2
 
-    flat = img.reshape(n, h * w, c)
-
-    idxs = []
     wgts = []
     for j in range(fs):
-        row = jnp.clip(iy_t + j, 0, h - 1)
         wrow = (1.0 - beta) if j < fs // 2 else beta
         for i in range(fs):
-            col = jnp.clip(ix_l + i, 0, w - 1)
             wcol = (1.0 - alpha) if i < fs // 2 else alpha
-            idxs.append(row * w + col)
             wgts.append(filters[..., j * fs + i, None] * wrow * wcol)
+    wgts = jnp.stack(wgts, axis=3)  # (N,H,W,16,1)
 
-    if n * h * w * fs * fs * c * img.dtype.itemsize <= _COMBINED_GATHER_BYTES:
-        # single combined gather for all 16 taps (16 separate
-        # take_along_axis calls measured ~25% slower standalone —
-        # per-gather launch overhead on TPU), one weighted reduction
-        idx = jnp.stack(idxs, axis=1).reshape(n, -1, 1)
-        vals = jnp.take_along_axis(flat, idx,
-                                   axis=1).reshape(n, fs * fs, h, w, c)
-        out = jnp.sum(vals * jnp.stack(wgts, axis=1), axis=1)
-    else:
-        # wide-channel inputs (DAIN ctx: 196 ch → the combined gather is a
-        # ~720 MB temporary): under memory pressure XLA rewrites that
-        # gather into a serialized while-loop of dynamic-update-slices
-        # (measured +80 ms inside the composed DAIN forward, HLO
-        # %wide.body.*.sunk) — accumulate tap-by-tap, slabbing channels so
-        # the per-gather temporary stays under _TAP_SLAB_BYTES at any
-        # batch/tile size, keeping the normal gather emitter in play
-        cs = max(1, min(c, _TAP_SLAB_BYTES
-                        // (n * h * w * img.dtype.itemsize)))
-        slabs = []
-        for c0 in range(0, c, cs):
-            sl = flat[:, :, c0:c0 + cs]
-            acc = jnp.zeros((n, h, w, sl.shape[-1]), img.dtype)
-            for idx_t, w_t in zip(idxs, wgts):
-                vals = jnp.take_along_axis(sl, idx_t.reshape(n, -1, 1),
-                                           axis=1)
-                acc = acc + vals.reshape(n, h, w, -1) * w_t
-            slabs.append(acc)
-        out = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, -1)
+    # Edge padding (1 top/left, 2 bottom/right) makes the window gather's
+    # border clamping identical to the reference's per-tap index clip: at
+    # valid pixels iy_t ∈ [−1, h−2] / ix_l ∈ [−1, w−2] (validity bounds
+    # y2 ∈ [0, h−1]), so every window row/col lands inside the padded
+    # extent and out-of-range taps replicate the border pixel. Invalid
+    # pixels pass the source through via the final `where` in both
+    # formulations, so their (clamped) window contents are irrelevant.
+    pad = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
+    b_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
+                             (n, h, w))
+    starts = jnp.stack([b_idx, jnp.clip(iy_t + 1, 0, h - 1),
+                        jnp.clip(ix_l + 1, 0, w - 1)],
+                       axis=-1).reshape(n * h * w, 3)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+
+    cs = max(1, min(c, _WINDOW_SLAB_BYTES
+                    // (n * h * w * fs * fs * img.dtype.itemsize)))
+    outs = []
+    for c0 in range(0, c, cs):
+        sl = pad[..., c0:c0 + cs]
+        vals = lax.gather(sl, starts, dnums,
+                          slice_sizes=(1, fs, fs, sl.shape[-1]),
+                          mode=lax.GatherScatterMode.CLIP)
+        vals = vals.reshape(n, h, w, fs * fs, -1)
+        outs.append(jnp.sum(vals * wgts, axis=3))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
 
     return jnp.where(valid[..., None], out, img)

@@ -20,6 +20,7 @@ import functools
 from typing import Tuple
 
 import jax
+import jax.lax as lax
 import jax.numpy as jnp
 
 
@@ -30,23 +31,46 @@ def _compute_dtype(dtype) -> jnp.dtype:
     return jnp.promote_types(dtype, jnp.float32)
 
 
-def _gather_pixels(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
-                   padding_mode: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather img[b, iy, ix, :] with integer indices.
+def _gather_quad(img: jnp.ndarray, x0i: jnp.ndarray, y0i: jnp.ndarray,
+                 padding_mode: str) -> Tuple[jnp.ndarray, ...]:
+    """Fetch the 2×2 bilinear neighborhood img[b, y0+{0,1}, x0+{0,1}, :].
 
-    Returns (values, inbounds_mask). img: (N,H,W,C); ix/iy: (N,Ho,Wo) int32.
+    ONE ``lax.gather`` of (2, 2, C) windows from an edge-padded copy — TPU
+    gathers cost per gathered *row* (~7-10 ns regardless of width), so one
+    2-row window fetch halves the DMA count of the two row-pair gathers
+    (4 single-row gathers before that). Per-tap semantics are preserved
+    exactly: with 1-px edge padding and start = clip(y0+1, 0, h), the two
+    window rows land on clip(y0, 0, h−1) and clip(y0+1, 0, h−1) for EVERY
+    integer y0 (both clips saturate together beyond ±1 out-of-range), i.e.
+    identical to clamping each tap independently; same for columns. For
+    ``zeros`` padding each tap is masked by its own in-bounds test.
+
+    img: (N,H,W,C); x0i/y0i: (N,Ho,Wo) int32 (top-left tap, unclipped).
+    Returns (v00, v01, v10, v11) each (N,Ho,Wo,C).
     """
     n, h, w, c = img.shape
-    inb = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1))
-    ixc = jnp.clip(ix, 0, w - 1)
-    iyc = jnp.clip(iy, 0, h - 1)
-    flat = img.reshape(n, h * w, c)
-    idx = iyc * w + ixc  # (N,Ho,Wo)
-    vals = jnp.take_along_axis(
-        flat, idx.reshape(n, -1, 1), axis=1).reshape(*idx.shape, c)
+    _, ho, wo = x0i.shape
+    pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    b_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
+                             (n, ho, wo))
+    starts = jnp.stack([b_idx, jnp.clip(y0i + 1, 0, h),
+                        jnp.clip(x0i + 1, 0, w)],
+                       axis=-1).reshape(n * ho * wo, 3)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    vals = lax.gather(pad, starts, dnums, slice_sizes=(1, 2, 2, c),
+                      mode=lax.GatherScatterMode.CLIP)
+    vals = vals.reshape(n, ho, wo, 4, c)
+    taps = [vals[..., k, :] for k in range(4)]  # 00, 01, 10, 11 (y, x)
     if padding_mode == "zeros":
-        vals = vals * inb[..., None].astype(vals.dtype)
-    return vals, inb
+        inb_x = [(x0i >= 0) & (x0i <= w - 1),
+                 (x0i + 1 >= 0) & (x0i + 1 <= w - 1)]
+        inb_y = [(y0i >= 0) & (y0i <= h - 1),
+                 (y0i + 1 >= 0) & (y0i + 1 <= h - 1)]
+        taps = [t * (inb_y[k // 2] & inb_x[k % 2])[..., None].astype(t.dtype)
+                for k, t in enumerate(taps)]
+    return tuple(taps)
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
@@ -77,10 +101,7 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    v00, _ = _gather_pixels(img, x0i, y0i, padding_mode)
-    v01, _ = _gather_pixels(img, x0i + 1, y0i, padding_mode)
-    v10, _ = _gather_pixels(img, x0i, y0i + 1, padding_mode)
-    v11, _ = _gather_pixels(img, x0i + 1, y0i + 1, padding_mode)
+    v00, v01, v10, v11 = _gather_quad(img, x0i, y0i, padding_mode)
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx

@@ -1,9 +1,10 @@
-"""Monolithic DAIN apply with the filter-interp combined-gather threshold
-forced to 0 (every call tap-chunked) — isolates whether the B>=2 residual
-slowdown is the combined path's index-tensor while-loop rewrite.
+"""Monolithic DAIN apply with the window-gather filter-interp variant
+monkeypatched in — does the one-gather 4x4xC form (720 MB temp) survive
+the composed forward without loopifying?
 
-Run: python scripts/dain_tapsweep.py [batch]
+Run: python scripts/dain_wingather.py [batch]
 """
+import functools
 import os
 import sys
 import time
@@ -20,11 +21,14 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from meta_interpolation_tpu.models.dain import model  # noqa: E402
-from meta_interpolation_tpu.ops import filter_interpolation as fi  # noqa: E402
 
-fi._COMBINED_GATHER_BYTES = 0
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import fi_micro as fim  # noqa: E402
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+CS = int(sys.argv[2]) if len(sys.argv) > 2 else 196
+model.filter_interpolation = functools.partial(fim.fi_window, cs=CS)
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 H, W = 256, 448
 DT = jnp.bfloat16
 
@@ -55,5 +59,5 @@ def marginal_ms(fn, iters=6):
     return (t2n - tn) / iters * 1e3
 
 
-print(f"batch={B} all-tap-chunked mono {marginal_ms(mono):8.2f} ms"
-      f" = {B * 1e3 / marginal_ms(mono):6.2f} fps")
+ms = marginal_ms(mono)
+print(f"batch={B} win{CS} mono {ms:8.2f} ms = {B * 1e3 / ms:6.2f} fps")

@@ -143,11 +143,10 @@ def test_filter_interpolation_matches_brute_force():
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-6)
 
 
-def test_filter_interpolation_chunked_path_matches(monkeypatch):
-    # wide-channel inputs take the tap-by-tap accumulation branch (the
-    # combined 16-tap gather is a ~720 MB temporary at DAIN ctx shapes
-    # and triggers XLA's serialized while-loop gather rewrite in the
-    # composed forward) — pin it numerically against the combined branch
+def test_filter_interpolation_slabbed_path_matches(monkeypatch):
+    # large batch/tile sizes slab the window gather over channels so the
+    # (N·H·W, 4, 4, cs) temporary stays bounded — pin the multi-slab path
+    # against the single-gather branch
     from meta_interpolation_tpu.ops import filter_interpolation as fi_mod
     rs = np.random.RandomState(11)
     img = rs.rand(2, 6, 7, 5).astype(np.float32)
@@ -155,14 +154,9 @@ def test_filter_interpolation_chunked_path_matches(monkeypatch):
     filters = rs.rand(2, 6, 7, 16).astype(np.float32)
     combined = filter_interpolation(jnp.asarray(img), jnp.asarray(flow),
                                     jnp.asarray(filters))
-    monkeypatch.setattr(fi_mod, "_COMBINED_GATHER_BYTES", 0)
-    chunked = fi_mod.filter_interpolation(jnp.asarray(img), jnp.asarray(flow),
-                                          jnp.asarray(filters))
-    np.testing.assert_allclose(np.asarray(chunked), np.asarray(combined),
-                               rtol=1e-6, atol=1e-6)
-    # multi-slab: cap the per-gather temporary at 2 channels' worth
-    monkeypatch.setattr(fi_mod, "_TAP_SLAB_BYTES",
-                        2 * 2 * 6 * 7 * np.dtype(np.float32).itemsize)
+    # cap the per-gather temporary at 2 channels' worth → 3 slabs
+    monkeypatch.setattr(fi_mod, "_WINDOW_SLAB_BYTES",
+                        2 * 2 * 6 * 7 * 16 * np.dtype(np.float32).itemsize)
     slabbed = fi_mod.filter_interpolation(jnp.asarray(img), jnp.asarray(flow),
                                           jnp.asarray(filters))
     np.testing.assert_allclose(np.asarray(slabbed), np.asarray(combined),
