@@ -42,6 +42,15 @@ FILTER_SIZE = 4
 # this to pin the multi-slab path.
 _WINDOW_SLAB_BYTES = 768 * 2**20
 
+# Row-packed single-segment gather: pack window rows y..y+3 into channels
+# (4 shifted copies concatenated) and flatten (W, 4c) into one axis so each
+# 4×4×C window is ONE contiguous 16c-element slice — 1 gathered segment per
+# pixel vs the plain window gather's 4 (TPU gathers cost per gathered
+# segment). Costs a 4× source copy. Module-level so tests/micros can pin
+# either path; default decided by on-chip measurement
+# (scripts/fi_micro.py packed196 vs win196).
+_ROW_PACKED = False
+
 
 def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
                          filters: jnp.ndarray) -> jnp.ndarray:
@@ -82,23 +91,47 @@ def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
     pad = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
     b_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
                              (n, h, w))
-    starts = jnp.stack([b_idx, jnp.clip(iy_t + 1, 0, h - 1),
-                        jnp.clip(ix_l + 1, 0, w - 1)],
-                       axis=-1).reshape(n * h * w, 3)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2))
+    row = jnp.clip(iy_t + 1, 0, h - 1)
+    col = jnp.clip(ix_l + 1, 0, w - 1)
 
     cs = max(1, min(c, _WINDOW_SLAB_BYTES
                     // (n * h * w * fs * fs * img.dtype.itemsize)))
     outs = []
-    for c0 in range(0, c, cs):
-        sl = pad[..., c0:c0 + cs]
-        vals = lax.gather(sl, starts, dnums,
-                          slice_sizes=(1, fs, fs, sl.shape[-1]),
-                          mode=lax.GatherScatterMode.CLIP)
-        vals = vals.reshape(n, h, w, fs * fs, -1)
-        outs.append(jnp.sum(vals * wgts, axis=3))
+    if _ROW_PACKED:
+        # packed element order is [i (w-pos)][j (row)][c] — reorder the
+        # j-major weight stack to match
+        wgts_p = jnp.transpose(
+            wgts.reshape(n, h, w, fs, fs, 1),
+            (0, 1, 2, 4, 3, 5)).reshape(n, h, w, fs * fs, 1)
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0, 1),
+            start_index_map=(0, 1, 2))
+        for c0 in range(0, c, cs):
+            sl = pad[..., c0:c0 + cs]
+            cw = sl.shape[-1]
+            packed = jnp.concatenate([sl[:, k:k + h] for k in range(fs)],
+                                     axis=-1)  # (n, h, w+3, fs*cw)
+            flat = packed.reshape(n, h, (w + 3) * fs * cw)
+            starts = jnp.stack([b_idx, row, col * (fs * cw)],
+                               axis=-1).reshape(n * h * w, 3)
+            vals = lax.gather(flat, starts, dnums,
+                              slice_sizes=(1, 1, fs * fs * cw),
+                              mode=lax.GatherScatterMode.CLIP)
+            vals = vals.reshape(n, h, w, fs * fs, cw)
+            outs.append(jnp.sum(vals * wgts_p, axis=3))
+    else:
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2))
+        starts = jnp.stack([b_idx, row, col],
+                           axis=-1).reshape(n * h * w, 3)
+        for c0 in range(0, c, cs):
+            sl = pad[..., c0:c0 + cs]
+            vals = lax.gather(sl, starts, dnums,
+                              slice_sizes=(1, fs, fs, sl.shape[-1]),
+                              mode=lax.GatherScatterMode.CLIP)
+            vals = vals.reshape(n, h, w, fs * fs, -1)
+            outs.append(jnp.sum(vals * wgts, axis=3))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
 
     return jnp.where(valid[..., None], out, img)

@@ -31,6 +31,13 @@ def _compute_dtype(dtype) -> jnp.dtype:
     return jnp.promote_types(dtype, jnp.float32)
 
 
+# Row-packed single-segment quad gather (see ops/filter_interpolation.py
+# _ROW_PACKED): 1 gathered segment per pixel instead of 2, for a 2× source
+# copy. Module-level so tests/micros can pin either path; default decided
+# by on-chip measurement.
+_ROW_PACKED = False
+
+
 def _gather_quad(img: jnp.ndarray, x0i: jnp.ndarray, y0i: jnp.ndarray,
                  padding_mode: str) -> Tuple[jnp.ndarray, ...]:
     """Fetch the 2×2 bilinear neighborhood img[b, y0+{0,1}, x0+{0,1}, :].
@@ -53,16 +60,35 @@ def _gather_quad(img: jnp.ndarray, x0i: jnp.ndarray, y0i: jnp.ndarray,
     pad = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     b_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
                              (n, ho, wo))
-    starts = jnp.stack([b_idx, jnp.clip(y0i + 1, 0, h),
-                        jnp.clip(x0i + 1, 0, w)],
-                       axis=-1).reshape(n * ho * wo, 3)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2))
-    vals = lax.gather(pad, starts, dnums, slice_sizes=(1, 2, 2, c),
-                      mode=lax.GatherScatterMode.CLIP)
-    vals = vals.reshape(n, ho, wo, 4, c)
-    taps = [vals[..., k, :] for k in range(4)]  # 00, 01, 10, 11 (y, x)
+    row = jnp.clip(y0i + 1, 0, h)
+    col = jnp.clip(x0i + 1, 0, w)
+    if _ROW_PACKED:
+        # pack row pairs into channels and flatten (W, 2c) so the 2×2
+        # window is ONE contiguous 4c-element slice (1 gathered segment
+        # per pixel); packed element order is [i (w-pos)][j (row)][c]
+        packed = jnp.concatenate([pad[:, :h + 1], pad[:, 1:h + 2]],
+                                 axis=-1)  # (n, h+1, w+2, 2c)
+        flat = packed.reshape(n, h + 1, (w + 2) * 2 * c)
+        starts = jnp.stack([b_idx, row, col * (2 * c)],
+                           axis=-1).reshape(n * ho * wo, 3)
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0, 1),
+            start_index_map=(0, 1, 2))
+        vals = lax.gather(flat, starts, dnums, slice_sizes=(1, 1, 4 * c),
+                          mode=lax.GatherScatterMode.CLIP)
+        vals = vals.reshape(n, ho, wo, 4, c)
+        order = (0, 2, 1, 3)  # [i][j] slots → (00, 01, 10, 11)
+        taps = [vals[..., k, :] for k in order]
+    else:
+        starts = jnp.stack([b_idx, row, col],
+                           axis=-1).reshape(n * ho * wo, 3)
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2))
+        vals = lax.gather(pad, starts, dnums, slice_sizes=(1, 2, 2, c),
+                          mode=lax.GatherScatterMode.CLIP)
+        vals = vals.reshape(n, ho, wo, 4, c)
+        taps = [vals[..., k, :] for k in range(4)]  # 00, 01, 10, 11 (y, x)
     if padding_mode == "zeros":
         inb_x = [(x0i >= 0) & (x0i <= w - 1),
                  (x0i + 1 >= 0) & (x0i + 1 <= w - 1)]

@@ -114,12 +114,54 @@ def fi_rows(img, flow, filters, cs):
     return jnp.where(valid[..., None], out, img)
 
 
+def fi_packed(img, flow, filters, cs=None):
+    """Row-packed single-segment window gather: pack rows y..y+3 into
+    channels (shifted-copy concat), flatten (W, 4c) into one axis, then
+    each 4x4xC window is ONE contiguous 16c-element slice — 1 gathered
+    row per pixel vs the window gather's 4 segments."""
+    n, h, w, c = img.shape
+    cs = cs or c
+    valid, iy_t, ix_l, wgts = _common(img, flow, filters)
+    # weights reordered i-major to match the packed element order [i][j][c]
+    wgts_ij = wgts.reshape(n, h, w, FS, FS, 1)  # [j][i]
+    wgts_p = jnp.transpose(wgts_ij, (0, 1, 2, 4, 3, 5)).reshape(
+        n, h, w, FS * FS, 1)
+    pad = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
+    pw = w + 3
+    b_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
+                             (n, h, w))
+    row = jnp.clip(iy_t + 1, 0, h - 1)
+    col = jnp.clip(ix_l + 1, 0, w - 1)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0, 1),
+        start_index_map=(0, 1, 2))
+    outs = []
+    for c0 in range(0, c, cs):
+        sl = pad[..., c0:c0 + cs]
+        cw = sl.shape[-1]
+        packed = jnp.concatenate([sl[:, k:k + h] for k in range(FS)],
+                                 axis=-1)  # (n, h, pw, 4cw)
+        flat = packed.reshape(n, h, pw * FS * cw)
+        starts = jnp.stack([b_idx, row, col * (FS * cw)],
+                           axis=-1).reshape(n * h * w, 3)
+        vals = lax.gather(flat, starts, dnums,
+                          slice_sizes=(1, 1, FS * FS * cw),
+                          mode=lax.GatherScatterMode.CLIP)
+        # packed element order: [i (w-pos)][j (row)][c]
+        vals = vals.reshape(n, h, w, FS * FS, cw)
+        outs.append(jnp.sum(vals * wgts_p, axis=3))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
+    return jnp.where(valid[..., None], out, img)
+
+
 VARIANTS = {
     "taps": lambda im, fl, ft: fi_mod.filter_interpolation(im, fl, ft),
     "win196": functools.partial(fi_window, cs=196),
     "win49": functools.partial(fi_window, cs=49),
     "win24": functools.partial(fi_window, cs=24),
     "rows98": functools.partial(fi_rows, cs=98),
+    "packed196": functools.partial(fi_packed, cs=196),
+    "packed98": functools.partial(fi_packed, cs=98),
 }
 
 
