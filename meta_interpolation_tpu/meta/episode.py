@@ -172,13 +172,17 @@ class EpisodeBuilder:
         return losses["total"], pred[0]
 
     def _support_loss(self, params, frames, spec: EpisodeSpec, loss_ctx=None,
-                      num_step=0):
+                      num_step=0, with_preds: bool = False):
         total = 0.0
+        preds = []
         for (i0, it, i1) in spec.support_idxs:
-            loss, _ = self._pair_loss(params, frames[i0], frames[i1],
-                                      frames[it], loss_ctx,
-                                      num_step=num_step)
+            loss, pred = self._pair_loss(params, frames[i0], frames[i1],
+                                         frames[it], loss_ctx,
+                                         num_step=num_step)
             total = total + loss
+            preds.append(pred)
+        if with_preds:
+            return total, jnp.stack(preds)
         return total
 
     def _masked(self, grads):
@@ -237,8 +241,12 @@ class EpisodeBuilder:
               collect_msl: bool = False, loss_ctx=None):
         """Inner-loop adaptation on one task.
 
-        frames: (T, H, W, C). Returns (adapted_params, per_step_query_losses)
-        where the losses array is only populated when ``collect_msl``.
+        frames: (T, H, W, C). Returns ``(adapted_params,
+        per_step_query_losses, support_preds)``: the losses array is only
+        populated when ``collect_msl``; support_preds is the per-step
+        stack of pre-update support-pair predictions when
+        ``spec.collect_support_preds`` (else an empty placeholder — shape
+        (1, 0) in the num_steps == 0 early return below).
         """
         if spec.attenuate and attenuator is not None:
             net_params = self._attenuate(net_params, attenuator, frames, spec,
@@ -288,23 +296,24 @@ class EpisodeBuilder:
             else:
                 mode = True
             with L.episode_fast_conv(mode):
-                grads = jax.grad(
+                # support preds ride along as grad aux — the pre-update
+                # predictions of this step's support forwards are exactly
+                # the fakes the reference's criterion-internal D updates
+                # see (loss.py:168-213), and returning them from the
+                # differentiated forward reuses the residuals XLA keeps
+                # for the backward instead of re-running every support
+                # forward a second time
+                grads, sp = jax.grad(
                     lambda p: self._support_loss(
                         self._prune_frozen(p, spec.second_order),
-                        frames, spec, ctx_src,
-                        num_step=step_idx))(grad_src)
+                        frames, spec, ctx_src, num_step=step_idx,
+                        with_preds=True),
+                    has_aux=True)(grad_src)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
             if spec.collect_support_preds:
-                # pre-update predictions of this step's support forwards —
-                # exactly the fakes the reference's criterion-internal D
-                # updates see (loss.py:168-213); stop_gradient: D updates
-                # never backprop into the episode
-                sp = jnp.stack([
-                    jax.lax.stop_gradient(self._pair_loss(
-                        params, frames[i0], frames[i1], frames[it],
-                        ctx_src, num_step=step_idx)[1])
-                    for (i0, it, i1) in spec.support_idxs])
+                # stop_gradient: D updates never backprop into the episode
+                sp = jax.lax.stop_gradient(sp)
             else:
                 sp = jnp.zeros((0,))
             grads = self._masked(grads)

@@ -218,6 +218,9 @@ class SceneAdaptiveInterpolation:
         self.scheduler = PlateauScheduler(cfg.outer_lr)
         self.current_epoch = 0
         self.mesh = mesh
+        if cfg.mode == "train":
+            from ..parallel import mesh as mesh_lib
+            mesh_lib.validate_train_batch(mesh, cfg.batch_size)
         self._trainable_mask = self._build_trainable_mask()
         # second-order episodes may only prune leaves frozen in BOTH loops
         self.builder.outer_keep = self._trainable_mask["net"]
@@ -421,7 +424,13 @@ class SceneAdaptiveInterpolation:
             upd = self.adv_state.jitted_update()
             d_params = self.meta_params["loss_ctx"]["disc"]
             d_opt = self.adv_state.opt_state
-            rng = jax.random.PRNGKey(int(epoch) * 100003 + 17)
+            # fold in a per-call counter: keying on epoch alone would
+            # replay the identical WGAN-GP interpolation eps for every
+            # iteration of an epoch
+            self._disc_iter = getattr(self, "_disc_iter", 0) + 1
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(int(epoch) * 100003 + 17),
+                self._disc_iter)
             if "support_preds" in aux:
                 # --disc_per_forward: reference cadence — one D update per
                 # criterion call (loss.py:168-213): every (step, support

@@ -57,10 +57,13 @@ def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
     """img: (N,H,W,C); flow: (N,H,W,2) (fx,fy); filters: (N,H,W,16)."""
     n, h, w, c = img.shape
     fs = FILTER_SIZE
-    fx = flow[..., 0].astype(jnp.float32)
-    fy = flow[..., 1].astype(jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    # coordinate math at >= f32 (bf16 flows upcast; f64 stays f64 so
+    # double-precision parity oracles run the whole pipeline in doubles)
+    ct = jnp.promote_types(flow.dtype, jnp.float32)
+    fx = flow[..., 0].astype(ct)
+    fy = flow[..., 1].astype(ct)
+    xs = jnp.arange(w, dtype=ct)[None, None, :]
+    ys = jnp.arange(h, dtype=ct)[None, :, None]
     x2 = xs + fx
     y2 = ys + fy
     valid = ((x2 >= 0) & (y2 >= 0) & (x2 <= w - 1) & (y2 <= h - 1)

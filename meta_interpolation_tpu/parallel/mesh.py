@@ -54,6 +54,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def validate_train_batch(mesh: Optional[Mesh], batch_size: int) -> None:
+    """Reject undividable *configured* training batches up front.
+
+    The replicated fallback in :func:`shard_task_batch` is meant for the
+    tail partial batch of an eval epoch; if ``--batch_size`` itself does
+    not divide the task axis, EVERY training iteration would silently run
+    replicated (all devices computing the full batch, zero speedup), so
+    that misconfiguration is an error at construction time."""
+    if mesh is None:
+        return
+    axis = mesh.shape[TASK_AXIS]
+    if axis > 1 and batch_size % axis:
+        raise ValueError(
+            f"--batch_size {batch_size} is not divisible by the mesh task "
+            f"axis ({axis}); every training batch would fall back to "
+            f"replicated placement. Use a batch size that is a multiple "
+            f"of {axis} or shrink the task axis (--mesh_shape).")
+
+
 def shard_task_batch(mesh: Mesh, frames):
     """Place a (B, T, H, W, C) batch sharded over tasks.
 
@@ -61,9 +80,9 @@ def shard_task_batch(mesh: Mesh, frames):
     of a real dataset (TaskLoader drop_last=False at eval) — the batch is
     placed *replicated* instead: every device runs the full small batch and
     the results are exact, just without task parallelism for that one
-    iteration. Training loaders drop the partial tail batch instead
-    (MetaLearningSystemDataLoader passes drop_last when a mesh is active),
-    so this fallback only triggers at eval."""
+    iteration. Training never hits this fallback: loaders drop the partial
+    tail batch when a mesh is active (data/loader.py) and an undividable
+    configured batch size is rejected by :func:`validate_train_batch`."""
     b = np.shape(frames)[0]
     if b % mesh.shape[TASK_AXIS]:
         return jax.device_put(frames, replicated(mesh))

@@ -135,8 +135,11 @@ def test_partial_batch_falls_back_to_replicated():
     assert arr.shape == x.shape
     np.testing.assert_array_equal(np.asarray(arr), x)
 
+    # mode="val": an undividable *training* batch size is a construction
+    # error (see test_undividable_train_batch_rejected below)
     cfg = Config(model="cain", depth=2, n_resblocks=1, batch_size=3,
-                 crop_size=16, number_of_evaluation_steps_per_iter=1)
+                 crop_size=16, mode="val",
+                 number_of_evaluation_steps_per_iter=1)
     plain = SceneAdaptiveInterpolation(cfg)
     l_plain, p_plain = plain.run_validation_iter(x)
     sharded = SceneAdaptiveInterpolation(cfg, mesh=m)
@@ -145,6 +148,20 @@ def test_partial_batch_falls_back_to_replicated():
     assert abs(l_plain["psnr"] - l_sh["psnr"]) < 1e-3
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_plain),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_undividable_train_batch_rejected():
+    """--batch_size not divisible by the mesh task axis would silently run
+    EVERY training batch replicated (zero speedup) — rejected up front."""
+    import pytest
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    m = mesh_lib.make_mesh("8")
+    cfg = Config(model="cain", depth=2, n_resblocks=1, batch_size=6,
+                 crop_size=16)
+    with pytest.raises(ValueError, match="task"):
+        SceneAdaptiveInterpolation(cfg, mesh=m)
 
 
 def test_train_loader_drops_partial_batch_with_mesh():

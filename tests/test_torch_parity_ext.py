@@ -79,6 +79,7 @@ def dain_ref():
     """Reference MetaDAIN on CPU: CUDA extensions stubbed, ``.cuda()``
     neutralized (the PWC nets build a cached grid with .cuda() in
     __init__, PWCNet.py:145-155), numpy<1.24 alias restored."""
+    import tempfile
     import torch
     _ref_path()
     _stub_cuda_extensions()
@@ -87,7 +88,16 @@ def dain_ref():
     with _cpu_cuda_patch():
         from dain.networks.DAIN import MetaDAIN
         torch.manual_seed(7)
-        net = MetaDAIN(training=False, resume=False)
+        # MegaDepth_model.py:18 runs TrainOptions().parse() at import,
+        # which writes ./checkpoints/<name>/opt.txt into the CWD — keep
+        # that artifact out of the repo
+        cwd = os.getcwd()
+        with tempfile.TemporaryDirectory() as tmp:
+            os.chdir(tmp)
+            try:
+                net = MetaDAIN(training=False, resume=False)
+            finally:
+                os.chdir(cwd)
         net.eval()
         yield net
 
