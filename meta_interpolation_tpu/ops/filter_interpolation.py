@@ -30,7 +30,6 @@ loopification.
 """
 from __future__ import annotations
 
-import jax
 import jax.lax as lax
 import jax.numpy as jnp
 

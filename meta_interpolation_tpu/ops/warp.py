@@ -9,10 +9,12 @@ TPU-native replacement for every ``F.grid_sample`` call in the reference:
     align_corners=True.
   * DAIN interpolation_cuda / PWCNet warp — direct pixel-space flow.
 
-Formulated as an XLA one-hot matmul-free gather: flattened spatial indices +
-``jnp.take`` with bilinear corner weights. Gathers lower to efficient TPU
-dynamic-slices; the backward pass is XLA's scatter-add — race-free by
-construction (the reference needs atomicAdd for this, SURVEY.md §5).
+Formulated as ONE ``lax.gather`` of (2, 2, C) bilinear windows from an
+edge-padded copy (see ``_gather_quad``; the optional ``_ROW_PACKED``
+variant packs row pairs into channels so each window is a single
+contiguous segment). The backward pass is XLA's gather transpose — a
+scatter-add, race-free by construction (the reference needs atomicAdd
+for this, SURVEY.md §5).
 """
 from __future__ import annotations
 
