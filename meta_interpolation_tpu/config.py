@@ -99,7 +99,12 @@ class Config:
     # reference updates D inside EVERY criterion call (loss.py:168-213 —
     # per support pair x inner step, plus the query), a ~(2k+1)x higher
     # D/G update ratio; the episode then also collects the per-step
-    # support predictions to feed those updates.
+    # support predictions to feed those updates. Known gap: while MSL is
+    # active (epoch < multi_step_loss_num_epochs) the reference's
+    # per-step QUERY criterion calls also update D — those per-step
+    # query preds are not collected here, so the replay covers support
+    # pairs + final query only (exact cadence once MSL decays out; no
+    # reference preset combines GAN with MSL).
     disc_per_forward: bool = False
     # second-order inner-grad convs as pure tap-einsums (no grouped convs
     # in the double-backward; outer grads bit-equivalent — pinned by

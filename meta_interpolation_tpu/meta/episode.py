@@ -145,20 +145,16 @@ class EpisodeBuilder:
         # forwards use the last step index, like the reference's
         # post-adaptation net_forward(num_step=num_steps-1).
         self.passes_num_step = False
-        # optional apply variant for eval/test QUERY forwards (the
-        # reference runs those under no_grad, which flips requires_grad-
-        # keyed behavior — DAIN's flow-projection hole filling,
-        # DepthFlowProjectionLayer.py:42). None = use apply_fn.
-        self.eval_query_apply_fn: Optional[Callable] = None
+        # L2F: bool tree marking the leaves that form the attenuator's
+        # grad embedding and receive gamma scaling (the reference's
+        # names_weights_copy membership — requires_grad=True leaves).
+        # None = all leaves.
+        self.att_keep: Optional[PyTree] = None
 
     # -- loss plumbing -----------------------------------------------------
-    def _pair_loss(self, params, f0, f1, target, loss_ctx=None, num_step=0,
-                   eval_query: bool = False):
+    def _pair_loss(self, params, f0, f1, target, loss_ctx=None, num_step=0):
         kw = {"num_step": num_step} if self.passes_num_step else {}
-        fn = (self.eval_query_apply_fn
-              if eval_query and self.eval_query_apply_fn is not None
-              else self.apply_fn)
-        out = fn(params, f0[None], f1[None], **kw)
+        out = self.apply_fn(params, f0[None], f1[None], **kw)
         if isinstance(out, tuple):
             pred, aux = out
             aux = dict(aux)
@@ -217,7 +213,14 @@ class EpisodeBuilder:
     # -- L2F ---------------------------------------------------------------
     def _attenuate(self, net_params, attenuator, frames, spec: EpisodeSpec,
                    loss_ctx=None):
-        """Scale the init per-leaf by gamma (reference :231-272)."""
+        """Scale the init per-leaf by gamma (reference :231-272).
+
+        The reference's embedding and scaling operate on
+        ``names_weights_copy`` — the requires_grad=True leaves only
+        (``get_inner_loop_parameter_dict``; for DAIN that is rectifyNet,
+        :96-101). ``att_keep`` (the model's outer/trainable mask, set by
+        the system) restricts both here: frozen subtrees neither enter
+        the grad embedding nor get gamma-scaled."""
         # always first-order (create_graph=False below): block tangents at
         # the inputs (net params AND loss_ctx), not just the grad output,
         # so the outer linearization never enters this gradient — required
@@ -226,13 +229,20 @@ class EpisodeBuilder:
         ctx_src = jax.tree.map(jax.lax.stop_gradient, loss_ctx)
         grad_src = jax.tree.map(jax.lax.stop_gradient, net_params)
         grads = jax.grad(lambda p: self._support_loss(
-            p, frames, spec, ctx_src))(grad_src)
+            self._prune_frozen(p), frames, spec, ctx_src))(grad_src)
         grads = jax.lax.stop_gradient(grads)  # create_graph=False (:246-247)
+        keep = (jax.tree.leaves(self.att_keep)
+                if self.att_keep is not None
+                else [True] * len(jax.tree.leaves(grads)))
         leaves = jax.tree.leaves(grads)
-        emb = jnp.stack([jnp.mean(g) for g in leaves])
+        emb = jnp.stack([jnp.mean(g) for g, k in zip(leaves, keep) if k])
         gamma = apply_attenuator(attenuator, emb)
         flat, treedef = jax.tree.flatten(net_params)
-        scaled = [w * gamma[i] for i, w in enumerate(flat)]
+        scaled = []
+        i = 0
+        for w, k in zip(flat, keep):
+            scaled.append(w * gamma[i] if k else w)
+            i += int(k)
         return jax.tree.unflatten(treedef, scaled)
 
     # -- single-task episode ----------------------------------------------
@@ -258,7 +268,7 @@ class EpisodeBuilder:
         q0, qt, q1 = spec.target_idxs
         opt_state = self.inner_opt.init_state(net_params)
 
-        def one_step(params, opt_state, step_idx):
+        def one_step(params, opt_state, step_idx, msl_query=collect_msl):
             # First order: block tangents at the *input* of the inner grad
             # (not just its output) so the outer linearization never enters
             # the gradient computation — required for ops whose custom-VJP
@@ -319,7 +329,11 @@ class EpisodeBuilder:
             grads = self._masked(grads)
             params, opt_state = self.inner_opt.update(
                 params, grads, lrs, opt_state, step_idx)
-            if collect_msl:
+            # msl_query is STATICALLY False for the last inner step: its
+            # MSL query term is the post-adaptation query forward that
+            # task_episode computes anyway (one full forward saved per
+            # MSL task; the reference computes that forward once too)
+            if msl_query:
                 q_loss, _ = self._pair_loss(params, frames[q0], frames[q1],
                                             frames[qt], loss_ctx,
                                             num_step=step_idx)
@@ -333,24 +347,41 @@ class EpisodeBuilder:
         # convs. Inside a scan the carry is batched for every iteration,
         # which turns all model convs into per-task grouped convs —
         # measured 2.7x slower on TPU. Later steps use genuinely per-task
-        # weights, so they stay in the scan. (With L2F attenuation the
-        # init is already per-task and the peel is math-neutral.)
-        net_params, opt_state, q_loss0, sp0 = one_step(net_params,
-                                                       opt_state, 0)
-        if spec.num_steps > 1:
+        # weights, so they stay in the scan — except the LAST step under
+        # MSL, peeled so its query forward can be statically skipped
+        # (reused from task_episode). (With L2F attenuation the init is
+        # already per-task and the step-0 peel is math-neutral.)
+        n = spec.num_steps
+        last_peeled = collect_msl and n >= 1
+        net_params, opt_state, q_loss0, sp0 = one_step(
+            net_params, opt_state, 0,
+            msl_query=collect_msl and not (last_peeled and n == 1))
+        mid_losses = []
+        mid_preds = []
+        scan_hi = n - 1 if last_peeled else n
+        if scan_hi > 1:
             def body(carry, step_idx):
                 p, o = carry
                 p, o, ql, sp = one_step(p, o, step_idx)
                 return (p, o), (ql, sp)
 
-            (net_params, _), (rest, sp_rest) = jax.lax.scan(
-                body, (net_params, opt_state),
-                jnp.arange(1, spec.num_steps))
-            step_losses = jnp.concatenate([q_loss0[None], rest])
-            support_preds = jnp.concatenate([sp0[None], sp_rest])
-        else:
-            step_losses = q_loss0[None]
-            support_preds = sp0[None]
+            (net_params, opt_state), (rest, sp_rest) = jax.lax.scan(
+                body, (net_params, opt_state), jnp.arange(1, scan_hi))
+            mid_losses.append(rest)
+            mid_preds.append(sp_rest)
+        if last_peeled and n > 1:
+            net_params, opt_state, _, sp_last = one_step(
+                net_params, opt_state, n - 1, msl_query=False)
+            mid_preds.append(sp_last[None])
+        # step_losses covers steps 0..n-2 under MSL (length n-1; the last
+        # step's term is task_episode's query), all n steps otherwise
+        losses = ([q_loss0[None]] + mid_losses
+                  if not (last_peeled and n == 1) else [jnp.zeros((0,))])
+        step_losses = (jnp.concatenate(losses) if len(losses) > 1
+                       else losses[0])
+        preds = [sp0[None]] + mid_preds
+        support_preds = (jnp.concatenate(preds) if len(preds) > 1
+                         else preds[0])
         return net_params, step_losses, support_preds
 
     def task_episode(self, meta_params: PyTree, frames: jnp.ndarray,
@@ -364,25 +395,33 @@ class EpisodeBuilder:
         lrs = meta_params["lrs"]
         attenuator = meta_params.get("attenuator")
         loss_ctx = meta_params.get("loss_ctx")
-        collect_msl = spec.use_msl and training
+        # num_steps == 0 under MSL would make the outer loss an empty sum
+        # (the system rejects that config; guarded here for direct users)
+        collect_msl = spec.use_msl and training and spec.num_steps > 0
         adapted, step_losses, support_preds = self.adapt(
             net, lrs, frames, spec, attenuator=attenuator,
             collect_msl=collect_msl, loss_ctx=loss_ctx)
         q0, qt, q1 = spec.target_idxs
+        # per-step BN slot for the post-adaptation query: the reference
+        # passes num_step=num_steps (:415,:425) which would index past its
+        # num_steps-slot per-step BN stats (model_utils.py:454-461 — a
+        # latent reference IndexError, never hit because no active config
+        # uses per-step BN); we clamp to the last valid slot
         last = max(spec.num_steps - 1, 0)
-        # eval queries run under no-grad in the reference (:414-423),
-        # flipping requires_grad-keyed op behavior (DAIN hole filling)
-        eq = not training
         if collect_msl:
-            outer_loss = jnp.sum(msl_weights[:spec.num_steps] * step_losses)
+            # steps 0..n-2 come from the adaptation scan; the last step's
+            # MSL term reuses this query forward (adapt skips it there)
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
                                            frames[qt], loss_ctx,
-                                           num_step=last, eval_query=eq)
+                                           num_step=last)
+            n = spec.num_steps
+            outer_loss = (jnp.sum(msl_weights[:n - 1] * step_losses)
+                          + msl_weights[n - 1] * q_loss)
             q_loss = jax.lax.stop_gradient(q_loss)
         else:
             q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
                                            frames[qt], loss_ctx,
-                                           num_step=last, eval_query=eq)
+                                           num_step=last)
             outer_loss = q_loss
         if not training:
             # eval: adapt with grads, query under no-grad (:414-423)
@@ -445,10 +484,8 @@ class EpisodeBuilder:
                 meta_params["net"], meta_params["lrs"], task_frames, spec,
                 attenuator=meta_params.get("attenuator"),
                 loss_ctx=meta_params.get("loss_ctx"))
-            # test synthesis runs under no_grad in the reference (:630-697)
-            fn = (self.eval_query_apply_fn
-                  if self.eval_query_apply_fn is not None else self.apply_fn)
-            out = fn(adapted, task_frames[1][None], task_frames[2][None])
+            out = self.apply_fn(adapted, task_frames[1][None],
+                                task_frames[2][None])
             pred = out[0] if isinstance(out, tuple) else out
             return jax.lax.stop_gradient(pred[0])
 

@@ -144,12 +144,41 @@ class SceneAdaptiveInterpolation:
             self.model_kwargs["use_pallas"] = False
         net_params = self.model_def.init(r_net, **self.model_kwargs)
         self.inner_opt = make_inner_optimizer(cfg)
+        if cfg.use_multi_step_loss_optimization and cfg.num_inner_steps == 0:
+            # MSL over zero inner steps would make every outer loss an
+            # empty sum = 0 and train nothing, silently (the reference
+            # crashes on torch.stack of an empty task_losses list)
+            raise ValueError(
+                "--use_multi_step_loss_optimization requires "
+                "number_of_training_steps_per_iter >= 1")
+        if (self.inner_opt.lr_mode == "lslr"
+                and cfg.num_eval_steps > cfg.num_inner_steps + 1):
+            # the LSLR container holds num_inner_steps+1 per-step LRs
+            # (reference inner_loop_optimizers.py:101,144 raises
+            # IndexError past that); a JAX gather would silently clamp
+            # to the last slot instead — fail loudly up front
+            raise ValueError(
+                f"number_of_evaluation_steps_per_iter "
+                f"({cfg.num_eval_steps}) exceeds the per-step LSLR "
+                f"learning-rate slots ({cfg.num_inner_steps + 1}); raise "
+                f"number_of_training_steps_per_iter or use --metasgd")
         lrs = self.inner_opt.init_lrs(net_params, cfg.inner_lr)
         self.meta_params: Dict[str, PyTree] = {"net": net_params, "lrs": lrs}
         if cfg.attenuate:
-            n_layers = len(jax.tree.leaves(net_params))
+            # the attenuator embeds/scales the reference's
+            # names_weights_copy — the requires_grad=True leaves at init
+            # (meta_learning_system.py:108 num_layers =
+            # len(names_weights_dict); DAIN: rectifyNet only, :96-101)
+            att_keep = None
+            if self.model_def.outer_mask_fn is not None:
+                att_keep = jax.tree.map(
+                    bool, self.model_def.outer_mask_fn(net_params))
+            n_layers = (sum(map(bool, jax.tree.leaves(att_keep)))
+                        if att_keep is not None
+                        else len(jax.tree.leaves(net_params)))
             self.meta_params["attenuator"] = episode_lib.init_attenuator(
                 r_att, n_layers)
+            self._att_keep = att_keep
 
         # inner-loop adaptation mask (sepconv: encoder only; DAIN: rectify
         # net only — see ModelDef.inner_mask_fn)
@@ -206,12 +235,8 @@ class SceneAdaptiveInterpolation:
             denormalize=self.model_def.denormalize,
             inner_mask=inner_mask,
             uses_loss_ctx=self.adv_state is not None)
-        if self.model_def.eval_query_kwargs:
-            # eval/test queries run under no-grad in the reference,
-            # flipping requires_grad-keyed behavior (DAIN flow-projection
-            # hole filling — ModelDef.eval_query_kwargs)
-            self.builder.eval_query_apply_fn = self._apply_fn(
-                self.model_def.eval_query_kwargs)
+        if cfg.attenuate:
+            self.builder.att_keep = self._att_keep
 
         self.tx = make_outer_optimizer(cfg)
         self.opt_state = self.tx.init(self.meta_params)
@@ -230,6 +255,10 @@ class SceneAdaptiveInterpolation:
     def _apply_fn(self, extra_kwargs: Optional[dict] = None):
         base_apply = self.model_def.apply
         kwargs = dict(self.model_kwargs)
+        if self.model_def.meta_apply_kwargs:
+            # e.g. DAIN hole filling on every meta forward — see
+            # ModelDef.meta_apply_kwargs
+            kwargs.update(self.model_def.meta_apply_kwargs)
         if extra_kwargs:
             kwargs.update(extra_kwargs)
 
@@ -474,7 +503,7 @@ class SceneAdaptiveInterpolation:
         """Slow-motion synthesis on 4 consecutive frames (:630-697)."""
         spec = self._episode_spec("test", self.cfg.num_eval_steps,
                                   self.cfg.second_order, False)
-        frames = jnp.asarray(frames)
+        frames = self._shard_batch(jnp.asarray(frames))
         step = self._get_test_step(spec)
         return step(self.meta_params, frames)
 

@@ -99,12 +99,17 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     ~0.3 ms). None = exact scatter (default; parity tests use it).
 
     ``fill_holes``: directional hole filling in the flow projections —
-    the reference enables it exactly when the flow tensor does NOT
+    the reference enables it exactly when the FLOW tensor does not
     require grad (DepthFlowProjectionLayer.py:42 ``fillhole = 1 if
-    requires_grad == False``), i.e. on eval/test QUERY forwards (run
-    under no_grad, meta_learning_system.py:414-423) but never inside the
-    differentiated adaptation. The episode engine passes it through
-    ModelDef.eval_query_kwargs."""
+    requires_grad == False``; DAIN.py:745 keys on input.requires_grad).
+    Under the meta system every flow-producing subnet is frozen
+    (meta_learning_system.py:96-101), so the flow never requires grad
+    and the reference fills holes on EVERY meta forward — adaptation
+    included (its backward ignores the fill, reproduced by
+    ops/flow_projection._fill_holes_no_grad); the episode engine passes
+    fill_holes=True through ModelDef.meta_apply_kwargs. The standalone
+    default (False) matches a freshly constructed torch MetaDAIN whose
+    flow requires grad — the parity-oracle configuration."""
     x0, pads = layers.pad_to_multiple(frame0, 64)
     x2, _ = layers.pad_to_multiple(frame1, 64)
 

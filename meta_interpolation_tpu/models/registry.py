@@ -44,12 +44,16 @@ class ModelDef:
     # different HWIO transpose than Conv2d's (out,in,kh,kw) — see
     # core/checkpoint._convert_leaf). DAIN's PWC deconv/upfeat layers.
     convtranspose_pred: Optional[Callable[[Any], bool]] = None
-    # extra apply-kwargs for eval/test QUERY forwards (run under no-grad
-    # in the reference, meta_learning_system.py:414-423) — DAIN's flow
-    # projection fills holes exactly when the flow does not require grad
-    # (DepthFlowProjectionLayer.py:42), so its eval queries use
-    # {'fill_holes': True} while adaptation forwards never do.
-    eval_query_kwargs: Optional[dict] = None
+    # extra apply-kwargs for EVERY forward inside the meta system. DAIN's
+    # flow projection fills holes exactly when the flow does not require
+    # grad (DepthFlowProjectionLayer.py:42, keyed on the FLOW tensor);
+    # under the meta system all flow-producing subnets are frozen
+    # (meta_learning_system.py:96-101), so the reference fills holes on
+    # every meta forward — support adaptation included — and so do we
+    # ({'fill_holes': True}). Standalone apply() keeps the default
+    # fill_holes=False, matching a freshly constructed torch MetaDAIN
+    # whose flow requires grad (the parity-oracle configuration).
+    meta_apply_kwargs: Optional[dict] = None
 
 
 _REGISTRY: Dict[str, ModelDef] = {}
@@ -153,6 +157,6 @@ def _load_all():
                               inner_mask_fn=_dain.inner_mask,
                               outer_mask_fn=_dain.outer_mask,
                               convtranspose_pred=_dain_convtranspose,
-                              eval_query_kwargs={"fill_holes": True}))
+                              meta_apply_kwargs={"fill_holes": True}))
     except ImportError:
         pass

@@ -79,7 +79,7 @@ def flow_projection(flow: jnp.ndarray,
     out = jnp.where(cnt[..., None] > 0, acc / jnp.maximum(cnt[..., None], 1e-12),
                     acc)
     if fill_hole:
-        out = _fill_holes(out, cnt)
+        out = _fill_holes_no_grad(out, cnt)
     return out
 
 
@@ -116,7 +116,7 @@ def min_depth_flow_projection(flow: jnp.ndarray, depth_inv: jnp.ndarray,
     out = jnp.where(n_win[..., None] > 0, acc / jnp.maximum(
         n_win[..., None], 1.0), 0.0)
     if fill_hole:
-        out = _fill_holes(out, n_win)
+        out = _fill_holes_no_grad(out, n_win)
     return out
 
 
@@ -134,6 +134,15 @@ def _nearest_valid_idx(valid: jnp.ndarray, axis: int, reverse: bool):
         out = jax.lax.cummax(masked, axis=axis)
         return jnp.flip(out, axis)
     return jax.lax.cummax(masked, axis=axis)
+
+
+def _fill_holes_no_grad(out: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """Forward: hole-filled; backward: as if unfilled. The reference
+    backward kernels ignore fillhole entirely (ctx.fillhole is unused,
+    DepthFlowProjectionLayer.py:66) — its gradients are those of the
+    plain scatter-average — so the fill contribution is wrapped in
+    stop_gradient to reproduce that exactly."""
+    return out + jax.lax.stop_gradient(_fill_holes(out, cnt) - out)
 
 
 def _fill_holes(out: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
@@ -185,7 +194,7 @@ def _flow_projection_fast_fwd_impl(flow, depth_inv, fill_hole, proj_range):
     out, cnt = flow_projection_bounded(flow, depth_inv,
                                        max_displacement=proj_range)
     if fill_hole:
-        out = _fill_holes(out, cnt)
+        out = _fill_holes_no_grad(out, cnt)
     return out
 
 

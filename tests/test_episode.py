@@ -148,6 +148,25 @@ def test_attenuator_initial_gamma_is_one():
                                rtol=1e-5)
 
 
+def test_attenuator_skips_frozen_leaves():
+    """L2F embeds/scales only the trainable leaves (the reference's
+    names_weights_copy — requires_grad=True params; DAIN: rectify only,
+    meta_learning_system.py:96-101): frozen leaves must pass through
+    unscaled and the attenuator input must be sized to the live set."""
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=1)
+    builder = EpisodeBuilder(tiny_apply, tiny_loss, opt)
+    builder.att_keep = {"w": True, "b": False}
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    att = init_attenuator(jax.random.PRNGKey(0), num_layers=1)
+    # force a visible gamma != 1
+    att["gamma_mult"] = jnp.asarray(0.7)
+    frames = make_frames()
+    spec = EpisodeSpec(num_steps=1, attenuate=True)
+    scaled = builder._attenuate(params, att, frames, spec)
+    np.testing.assert_allclose(float(scaled["b"]), 0.1, rtol=1e-7)
+    assert abs(float(scaled["w"]) - 0.8) > 1e-6
+
+
 def test_inner_mask_freezes_leaves():
     opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=1)
     mask = {"w": jnp.asarray(0.0), "b": jnp.asarray(1.0)}
