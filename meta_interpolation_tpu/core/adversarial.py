@@ -82,6 +82,13 @@ def discriminator_apply(params: Params, x: jnp.ndarray,
     custom_vmap cannot be linearized.
     """
     h, w = x.shape[1], x.shape[2]
+    if h < patch_size or w < patch_size:
+        # inputs smaller than the training patch (a thin eval tile): pad
+        # to the classifier's expected extent instead of producing a
+        # mis-sized crop (a negative start would Python-wrap the slice)
+        x = jnp.pad(x, ((0, 0), (0, max(0, patch_size - h)),
+                        (0, max(0, patch_size - w)), (0, 0)))
+        h, w = x.shape[1], x.shape[2]
     if h != patch_size or w != patch_size:
         mh, mw = h // 2, w // 2
         p = patch_size // 2
@@ -130,12 +137,13 @@ class AdversarialState:
 
     # -- pure generator term (jit-safe inside the episode) -----------------
     def generator_loss(self, fake: jnp.ndarray) -> jnp.ndarray:
-        d_fake = discriminator_apply(self.params, fake, self.patch_size)
-        if self.gan_type == "GAN":
-            return jnp.mean(
-                optax.sigmoid_binary_cross_entropy(d_fake,
-                                                   jnp.ones_like(d_fake)))
-        return -jnp.mean(d_fake)  # WGAN variants (:226-227)
+        """Eager convenience only — delegates to the module-level pure
+        function. Inside a jitted episode use that function with the
+        discriminator params from loss_ctx (closing over self.params
+        here would bake stale weights into the jit cache — the hazard
+        the module docstring describes)."""
+        return generator_loss(self.params, fake, self.gan_type,
+                              self.patch_size)
 
     # -- discriminator step (outside the episode) --------------------------
     def jitted_update(self):

@@ -136,9 +136,10 @@ class ExperimentBuilder:
                 # when --lpips (external package there; jax port here)
                 from ..utils.profiling import eval_lpips
                 dn = self.system.model_def.denormalize
+                qt = self.cfg.target_idxs[1]
                 lpips_meter.update(eval_lpips(
                     np.clip(np.asarray(dn(preds)), 0, 1),
-                    np.clip(np.asarray(dn(np.asarray(frames)[:, 3])), 0, 1)))
+                    np.clip(np.asarray(dn(np.asarray(frames)[:, qt])), 0, 1)))
             if save_images and self.cfg.viz:
                 from ..utils.viz import save_batch_images
                 out_root = os.path.join(self.exp_dir, self.cfg.dataset)

@@ -4,7 +4,7 @@ Reference: ``/root/reference/loss.py:278-350`` (parser + weighted sum returning
 ``{type: weighted_loss, ..., 'total': sum}``), with loss types:
 
   * ``MSE``, ``L1``              — plain pixel losses
-  * ``SSIM``                     — DSSIM = (1 - ssim)/2 with val_range=1
+  * ``SSIM``                     — DSSIM = (1 - ssim)/2, data-detected range
                                    (loss.py:294, pytorch_msssim/__init__.py:108-131)
   * ``VGG22/33/44/54/P``         — VGG19-feature MSE perceptual loss
                                    (loss.py:19-78); here a flax VGG19 whose
@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import metrics
 
@@ -42,8 +43,13 @@ def mse_loss(pred, target):
 
 
 def dssim_loss(pred, target):
-    """(1 - SSIM)/2 with val_range=1 (reference SSIM loss class)."""
-    s = metrics.ssim(pred, target, val_range=1.0)
+    """(1 - SSIM)/2 (reference SSIM loss class).
+
+    val_range=None: the reference class never forwards its val_range to
+    ssim() (pytorch_msssim/__init__.py:119-131), so the range is detected
+    from the data (L=2 for mean-shifted/tanh spaces, 1 for sigmoid) —
+    matters because the loss runs on raw model-space tensors."""
+    s = metrics.ssim(pred, target, val_range=None)
     return (1.0 - s) / 2.0
 
 
@@ -70,54 +76,64 @@ _VGG19_LAYERS: List[Tuple[str, int]] = [
 ]
 # module-index cut points used by the reference for VGG{22,33,44,54}
 _VGG_CUTS = {"22": 8, "33": 16, "44": 26, "54": 35}
-_VGG_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-_VGG_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy (NOT jnp) so importing this module never initializes the JAX
+# backend — the force-CPU-after-import pattern (CLAUDE.md) relies on no
+# backend use happening at import time
+_VGG_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_VGG_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
-def init_vgg19_params(rng: jax.Array, max_cut: int = 35) -> Dict[str, Any]:
-    """He-init VGG19 conv stack up to torchvision module index ``max_cut``.
+def _init_vgg_params(rng: jax.Array, layers) -> Dict[str, Any]:
+    """He-init a VGG conv stack described by a (kind, out_ch) layer table.
 
     Real perceptual numbers need torchvision weights — import them with
-    :func:`load_vgg19_from_torch_state`. The random init keeps the loss
-    *functional* (correct shapes/flow) when the pretrained file is absent.
+    :func:`load_vgg19_from_torch_state` / :func:`load_vgg16_from_torch_state`.
+    The random init keeps the loss *functional* (correct shapes/flow) when
+    the pretrained file is absent.
     """
     params = {}
     in_ch = 3
     conv_i = 0
-    for idx, (kind, out_ch) in enumerate(_VGG19_LAYERS[:max_cut]):
+    for kind, out_ch in layers:
         if kind == "conv":
-            rng, k1, k2 = jax.random.split(rng, 3)
+            rng, k1 = jax.random.split(rng)
             fan_in = 3 * 3 * in_ch
             w = jax.random.normal(k1, (3, 3, in_ch, out_ch)) * jnp.sqrt(2.0 / fan_in)
-            b = jnp.zeros((out_ch,))
-            params[f"conv_{conv_i}"] = {"kernel": w, "bias": b}
+            params[f"conv_{conv_i}"] = {"kernel": w, "bias": jnp.zeros((out_ch,))}
             conv_i += 1
             in_ch = out_ch
     return params
 
 
-def load_vgg19_from_torch_state(state_dict) -> Dict[str, Any]:
-    """Convert a torchvision ``vgg19().features.state_dict()`` to our pytree.
-
-    torch conv weights are OIHW; flax kernels are HWIO.
-    """
-    import numpy as np
+def _load_vgg_from_torch_state(state_dict, layers) -> Dict[str, Any]:
+    """Convert a torchvision ``vggNN().features.state_dict()`` to our pytree,
+    mapping torchvision module indices to conv ordinals. torch conv weights
+    are OIHW; flax kernels are HWIO."""
     params = {}
     conv_i = 0
-    for idx, (kind, _c) in enumerate(_VGG19_LAYERS):
+    for idx, (kind, _c) in enumerate(layers):
         if kind != "conv":
             continue
-        wk, bk = f"{idx}.weight", f"{idx}.bias"
+        wk = f"{idx}.weight"
         if wk not in state_dict:
             break
         w = np.asarray(state_dict[wk])
-        b = np.asarray(state_dict[bk])
+        b = np.asarray(state_dict[f"{idx}.bias"])
         params[f"conv_{conv_i}"] = {
             "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
             "bias": jnp.asarray(b),
         }
         conv_i += 1
     return params
+
+
+def init_vgg19_params(rng: jax.Array, max_cut: int = 35) -> Dict[str, Any]:
+    """He-init VGG19 conv stack up to torchvision module index ``max_cut``."""
+    return _init_vgg_params(rng, _VGG19_LAYERS[:max_cut])
+
+
+def load_vgg19_from_torch_state(state_dict) -> Dict[str, Any]:
+    return _load_vgg_from_torch_state(state_dict, _VGG19_LAYERS)
 
 
 # Pretrained-weight search path. The reference's perceptual losses are
@@ -277,36 +293,11 @@ _VGG16_LAYERS: List[Tuple[str, int]] = [
 
 
 def init_vgg16_params(rng: jax.Array) -> Dict[str, Any]:
-    params = {}
-    in_ch = 3
-    conv_i = 0
-    for kind, out_ch in _VGG16_LAYERS:
-        if kind == "conv":
-            rng, k1 = jax.random.split(rng)
-            fan_in = 3 * 3 * in_ch
-            w = jax.random.normal(k1, (3, 3, in_ch, out_ch)) * jnp.sqrt(2.0 / fan_in)
-            params[f"conv_{conv_i}"] = {"kernel": w, "bias": jnp.zeros((out_ch,))}
-            conv_i += 1
-            in_ch = out_ch
-    return params
+    return _init_vgg_params(rng, _VGG16_LAYERS)
 
 
 def load_vgg16_from_torch_state(state_dict) -> Dict[str, Any]:
-    import numpy as np
-    params = {}
-    conv_i = 0
-    for idx, (kind, _c) in enumerate(_VGG16_LAYERS):
-        if kind != "conv":
-            continue
-        wk = f"{idx}.weight"
-        if wk not in state_dict:
-            break
-        w = np.asarray(state_dict[wk])
-        b = np.asarray(state_dict[f"{idx}.bias"])
-        params[f"conv_{conv_i}"] = {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
-                                    "bias": jnp.asarray(b)}
-        conv_i += 1
-    return params
+    return _load_vgg_from_torch_state(state_dict, _VGG16_LAYERS)
 
 
 def vgg16_features(params, x):
@@ -375,9 +366,11 @@ def make_loss_fn(spec: str,
 
     def loss_fn(pred, target, aux: Optional[Dict[str, Any]] = None,
                 ctx: Optional[Dict[str, Any]] = None):
-        """``ctx`` carries traced loss-side parameters (currently the GAN
-        discriminator: {'disc': params, 'gan_type': str, 'patch_size': int})
-        so jit never bakes stale weights into the episode."""
+        """``ctx`` carries traced loss-side parameters — only
+        ``{'disc': params}`` is consumed (the GAN type comes from the
+        parsed spec term and the patch size from the builder closure) —
+        so jit never bakes stale discriminator weights into the
+        episode."""
         losses: Dict[str, jnp.ndarray] = {}
         total = 0.0
         for t in terms:

@@ -56,36 +56,33 @@ def _window_filter(img: jnp.ndarray, win1d: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, val_range: float = 255.0,
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, val_range=255.0,
          window_size: int = 11) -> jnp.ndarray:
     """SSIM, NHWC batched, scalar mean (pytorch_msssim/__init__.py:19-75).
 
     Matches the reference: no padding (valid conv), sigma=1.5, mean over the
     whole valid map.
     """
-    img1 = img1.astype(jnp.float32)
-    img2 = img2.astype(jnp.float32)
-    win = jnp.asarray(_gaussian_window(window_size))
-    mu1 = _window_filter(img1, win)
-    mu2 = _window_filter(img2, win)
-    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _window_filter(img1 * img1, win) - mu1_sq
-    sigma2_sq = _window_filter(img2 * img2, win) - mu2_sq
-    sigma12 = _window_filter(img1 * img2, win) - mu1_mu2
-
-    c1 = (0.01 * val_range) ** 2
-    c2 = (0.03 * val_range) ** 2
-    v1 = 2.0 * sigma12 + c2
-    v2 = sigma1_sq + sigma2_sq + c2
-    ssim_map = ((2.0 * mu1_mu2 + c1) * v1) / ((mu1_sq + mu2_sq + c1) * v2)
-    return jnp.mean(ssim_map)
+    return ssim_full(img1, img2, val_range, window_size)[0]
 
 
 def ssim_full(img1, img2, val_range=255.0, window_size=11):
-    """SSIM returning (ssim, contrast_sensitivity) for MS-SSIM."""
+    """SSIM returning (ssim, contrast_sensitivity) for MS-SSIM.
+
+    ``val_range=None`` reproduces the reference's data-driven range
+    detection (pytorch_msssim/__init__.py:21-31: L = (255 if max>128
+    else 1) − (−1 if min<−0.5 else 0)) — the semantics the reference
+    SSIM *loss* runs with, since its class never forwards val_range.
+    The window also shrinks to min(window_size, H, W) (:36-37) so
+    sub-11px inputs compute instead of crashing."""
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
-    win = jnp.asarray(_gaussian_window(window_size))
+    if val_range is None:
+        max_val = jnp.where(jnp.max(img1) > 128, 255.0, 1.0)
+        min_val = jnp.where(jnp.min(img1) < -0.5, -1.0, 0.0)
+        val_range = max_val - min_val
+    h, w = img1.shape[1], img1.shape[2]
+    win = jnp.asarray(_gaussian_window(min(window_size, h, w)))
     mu1 = _window_filter(img1, win)
     mu2 = _window_filter(img2, win)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -84,3 +84,31 @@ def test_msssim_range():
     a = rng.rand(1, 180, 180, 3).astype(np.float32) * 255
     v = metrics.msssim(jnp.asarray(a), jnp.asarray(a), val_range=255.0)
     np.testing.assert_allclose(float(v), 1.0, atol=1e-4)
+
+
+def test_ssim_matches_reference_torch_auto_range_and_shrink():
+    """val_range=None auto-detection and the min(window,H,W) shrink must
+    match the reference pytorch_msssim.ssim exactly (torch oracle)."""
+    import sys
+    import torch
+    sys.path.insert(0, "/root/reference")
+    from pytorch_msssim import ssim as ref_ssim
+
+    rng = np.random.RandomState(5)
+    # mean-shifted space: min < -0.5 => L = 2 in the reference
+    a = (rng.rand(1, 24, 24, 3).astype(np.float32) * 2 - 1)
+    b = np.clip(a + 0.2 * rng.randn(1, 24, 24, 3).astype(np.float32), -1, 1)
+    ta = torch.from_numpy(a.transpose(0, 3, 1, 2))
+    tb = torch.from_numpy(b.transpose(0, 3, 1, 2))
+    expected = float(ref_ssim(ta, tb, val_range=None))
+    got = float(metrics.ssim(jnp.asarray(a), jnp.asarray(b), val_range=None))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    # sub-11px input: the reference shrinks the window instead of crashing
+    s = (rng.rand(1, 7, 9, 3).astype(np.float32))
+    s2 = np.clip(s + 0.1 * rng.randn(1, 7, 9, 3).astype(np.float32), 0, 1)
+    ts, ts2 = (torch.from_numpy(x.transpose(0, 3, 1, 2)) for x in (s, s2))
+    expected_small = float(ref_ssim(ts, ts2, val_range=1.0))
+    got_small = float(metrics.ssim(jnp.asarray(s), jnp.asarray(s2),
+                                   val_range=1.0))
+    np.testing.assert_allclose(got_small, expected_small, rtol=1e-5)
