@@ -28,12 +28,17 @@ SSM_MEAN = np.asarray([0.429, 0.431, 0.397], np.float32)
 
 
 def normalize_for_model(img01: np.ndarray, model: str) -> np.ndarray:
-    """[0,1] HWC float32 → model input space."""
-    if model == "superslomo":
-        return img01 - SSM_MEAN
-    if model == "voxelflow":
-        return (img01 * 255.0 - 127.5) / 127.5
-    return img01
+    """[0,1] HWC float32 → model input space.
+
+    Single source of truth: delegates to the registry's per-model
+    ``ModelDef.normalize`` (pure arithmetic, numpy-compatible), so a new
+    model's custom normalize automatically reaches the data pipeline.
+    Unregistered names pass through unchanged."""
+    from ..models import registry
+    try:
+        return np.asarray(registry.get(model).normalize(img01), np.float32)
+    except NotImplementedError:
+        return img01
 
 
 def load_image(path: str) -> np.ndarray:

@@ -136,14 +136,6 @@ def _rcab(p: Params, x, slope: float = 0.2, fuse_pad: bool = False):
     return out + x
 
 
-def _residual_group(p: Params, x, n_resblocks: int):
-    res = x
-    for i in range(n_resblocks):
-        res = _rcab(p["body"][str(i)], res)
-    res = _conv_norm(p["body"][str(n_resblocks)], res)
-    return res + x
-
-
 def _stack_body(p: Params, n_resgroups: int, n_resblocks: int):
     """Stack the (identically-shaped) per-group params for lax.scan.
 

@@ -13,11 +13,13 @@ from .. import layers
 from ..layers import Params
 
 
-def _kaiming_conv(rng, in_ch, out_ch, k):
+def _kaiming_conv(rng, in_ch, out_ch, k, bias=True):
     n = k * k * out_ch
-    return {"kernel": jax.random.normal(rng, (k, k, in_ch, out_ch))
-            * jnp.sqrt(2.0 / n),
-            "bias": jnp.zeros((out_ch,))}
+    p = {"kernel": jax.random.normal(rng, (k, k, in_ch, out_ch))
+         * jnp.sqrt(2.0 / n)}
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,))
+    return p
 
 
 def init(rng: jax.Array, in_channels: int = 437,
@@ -27,10 +29,17 @@ def init(rng: jax.Array, in_channels: int = 437,
         "block1": {"0": _kaiming_conv(rngs[0], in_channels, intermediate, 7)},
         "block5": {"0": _kaiming_conv(rngs[7], intermediate, 3, 3)},
     }
+    # MetaBasicBlock convs carry no bias (BasicBlock.py:101-106
+    # use_bias=False) — rectifyNet is the ONLY meta-learned DAIN part, so
+    # phantom biases would be adapted/meta-trained leaves the reference
+    # does not have (and change the L2F attenuator layer count)
     for i, name in enumerate(("block2", "block3", "block4")):
         r1, r2 = jax.random.split(rngs[1 + i])
-        params[name] = {"conv1": _kaiming_conv(r1, intermediate, intermediate, 3),
-                        "conv2": _kaiming_conv(r2, intermediate, intermediate, 3)}
+        params[name] = {
+            "conv1": _kaiming_conv(r1, intermediate, intermediate, 3,
+                                   bias=False),
+            "conv2": _kaiming_conv(r2, intermediate, intermediate, 3,
+                                   bias=False)}
     return params
 
 

@@ -27,9 +27,11 @@ def _kaiming_conv(rng, in_ch, out_ch, k, bias=True) -> Params:
 
 
 def _init_block(rng, ch) -> Params:
+    # BasicBlock convs carry no bias (S2DF.py:67,72 bias=False) — the
+    # param tree must mirror the torch state_dict exactly
     r1, r2 = jax.random.split(rng)
-    return {"conv1": _kaiming_conv(r1, ch, ch, 3),
-            "conv2": _kaiming_conv(r2, ch, ch, 3)}
+    return {"conv1": _kaiming_conv(r1, ch, ch, 3, bias=False),
+            "conv2": _kaiming_conv(r2, ch, ch, 3, bias=False)}
 
 
 def init(rng: jax.Array) -> Params:

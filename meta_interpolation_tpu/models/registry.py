@@ -16,6 +16,7 @@ import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass
@@ -81,7 +82,9 @@ def available() -> Tuple[str, ...]:
 
 _identity = lambda x: x
 
-_SSM_MEAN = jnp.asarray([0.429, 0.431, 0.397])
+# numpy (NOT jnp): no JAX backend init at import time (the
+# force-CPU-after-import pattern, CLAUDE.md)
+_SSM_MEAN = np.asarray([0.429, 0.431, 0.397], np.float32)
 
 
 def _ssm_normalize(x):
@@ -101,6 +104,14 @@ def _vf_denormalize(x):
     return (x * 127.5 + 127.5) / 255.0
 
 
+def _import_warn(e: ImportError) -> None:
+    """A model failing to import should not block the others, but the
+    error must be visible — a swallowed ImportError turns a typo in a
+    model module into 'Model X not implemented'."""
+    import warnings
+    warnings.warn(f"model module failed to import and was skipped: {e!r}")
+
+
 def _load_all():
     """Import model modules lazily so optional deps never block the rest."""
     from . import cain as _cain  # noqa: F401
@@ -113,24 +124,25 @@ def _load_all():
             register(ModelDef("sepconv", _sepconv.init, _sepconv.apply,
                               _identity, _identity, pad_multiple=128,
                               inner_mask_fn=_sepconv.inner_mask))
-    except ImportError:
-        pass
+    except ImportError as e:
+        _import_warn(e)
     try:
         from . import rrin as _rrin
         if "rrin" not in _REGISTRY:
             register(ModelDef("rrin", _rrin.init, _rrin.apply,
                               _identity, _identity, pad_multiple=128,
-                              tile_pixel_limit=3e5))
-    except ImportError:
-        pass
+                              tile_pixel_limit=3e5,
+                              inner_mask_fn=_rrin.inner_mask))
+    except ImportError as e:
+        _import_warn(e)
     try:
         from . import superslomo as _ssm
         if "superslomo" not in _REGISTRY:
             register(ModelDef("superslomo", _ssm.init, _ssm.apply,
                               _ssm_normalize, _ssm_denormalize,
-                              pad_multiple=128, returns_aux=True))
-    except ImportError:
-        pass
+                              pad_multiple=64, returns_aux=True))
+    except ImportError as e:
+        _import_warn(e)
     try:
         from . import voxelflow as _vf
         if "voxelflow" not in _REGISTRY:
@@ -138,8 +150,8 @@ def _load_all():
                               _vf_normalize, _vf_denormalize, pad_multiple=64,
                               inner_mask_fn=_vf.inner_mask,
                               outer_mask_fn=_vf.outer_mask))
-    except ImportError:
-        pass
+    except ImportError as e:
+        _import_warn(e)
     try:
         from .dain import model as _dain
 
@@ -158,5 +170,5 @@ def _load_all():
                               outer_mask_fn=_dain.outer_mask,
                               convtranspose_pred=_dain_convtranspose,
                               meta_apply_kwargs={"fill_holes": True}))
-    except ImportError:
-        pass
+    except ImportError as e:
+        _import_warn(e)

@@ -31,6 +31,20 @@ def init(rng: jax.Array, **_kw) -> Params:
     }
 
 
+def inner_mask(params: Params) -> Params:
+    """0/1 mask excluding the Mask UNet from inner-loop adaptation: the
+    reference forward calls ``self.Mask(temp)`` WITHOUT threading the
+    adapted params (rrin/model.py:101 — unlike Flow_L/refine_flow/final,
+    which consume param_dict entries), so adaptation never changes the
+    occlusion-mask weights; outer grads still reach them via the query
+    forward. Same preserved quirk as sepconv's kernel subnets."""
+    def mk(name, sub):
+        val = 0.0 if name == "Mask" else 1.0
+        return jax.tree.map(lambda x: jnp.full((), val, jnp.float32), sub)
+
+    return {name: mk(name, sub) for name, sub in params.items()}
+
+
 def _process(params: Params, x0, x1, t: float, warp_range=None):
     x = jnp.concatenate([x0, x1], axis=-1)
     flow = unet.apply(params["Flow_L"], x, depth=5)
