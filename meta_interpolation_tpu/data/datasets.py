@@ -86,20 +86,32 @@ class VimeoSeptuplet(_Base):
         return [os.path.join(self.image_root, seq, f"im{i}.png")
                 for i in range(1, 8)]
 
-    def __getitem__(self, index):
+    def frame_hw(self):
+        """(H, W) of the dataset's frames — PIL reads the header only."""
+        if getattr(self, "_hw", None) is None:
+            with Image.open(self._paths(0)[0]) as im:
+                self._hw = (im.height, im.width)
+        return self._hw
+
+    def getitem_with_aug(self, index, aug):
+        """Load one clip with externally drawn augmentation — lets the
+        loader draw the (seeded) aug stream serially in its producer
+        thread while decodes run in the pool, keeping augmentation
+        deterministic under threading."""
+        oy, ox, flip, ch, cw = aug
         paths = self._paths(index)
         images = [load_image(p) for p in paths]
         if self.current_set_name == "train":
-            h, w, _ = images[0].shape
-            rh = self.rng.randint(0, max(0, h - self.crop_size))
-            rw = self.rng.randint(0, max(0, w - self.crop_size))
-            images = [im[rh:rh + self.crop_size, rw:rw + self.crop_size]
-                      for im in images]
-            if self.rng.random() >= 0.5:
+            images = [im[oy:oy + ch, ox:ox + cw] for im in images]
+            if flip:
                 images = images[::-1]
                 paths = paths[::-1]
-        frames = np.stack([normalize_for_model(im, self.model) for im in images])
+        frames = np.stack([normalize_for_model(im, self.model)
+                           for im in images])
         return frames, {"imgpaths": paths}
+
+    def __getitem__(self, index):
+        return self.getitem_with_aug(index, self.aug_params(*self.frame_hw()))
 
     # -- native fast path (data/native): decode to uint8 + C++ transform ---
     def get_raw(self, index):
@@ -112,14 +124,18 @@ class VimeoSeptuplet(_Base):
         return np.stack(frames), {"imgpaths": paths}
 
     def aug_params(self, h: int, w: int):
-        """Per-clip crop offsets + temporal flip, same RNG stream as the
-        python path."""
+        """Per-clip crop offsets + temporal flip — ONE seeded RNG stream
+        shared by the python and native paths (both draw it serially in
+        the loader's producer thread). The crop clamps to the frame size
+        (the reference's oversized crop would read out of bounds in the
+        C++ path and silently shrink in the python path)."""
         if self.current_set_name != "train":
             return 0, 0, 0, h, w
-        rh = self.rng.randint(0, max(0, h - self.crop_size))
-        rw = self.rng.randint(0, max(0, w - self.crop_size))
+        ch, cw = min(self.crop_size, h), min(self.crop_size, w)
+        rh = self.rng.randint(0, max(0, h - ch))
+        rw = self.rng.randint(0, max(0, w - cw))
         flip = int(self.rng.random() >= 0.5)
-        return rh, rw, flip, self.crop_size, self.crop_size
+        return rh, rw, flip, ch, cw
 
     def norm_constants(self):
         """(mean, std, inv255) for the C++ normalize."""

@@ -29,6 +29,7 @@ class TaskLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
+        self._norm_ok: Optional[bool] = None
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -47,6 +48,32 @@ class TaskLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _native_norm_ok(self) -> bool:
+        """The C++ transform normalizes as (u8·inv255 − mean)/std; verify
+        once that the dataset's constants reproduce the registry's
+        ModelDef.normalize — a model with a custom normalize the affine
+        form cannot express must take the python path, not silently
+        train on wrongly normalized data."""
+        if self._norm_ok is None:
+            ds = self.dataset
+            if not hasattr(ds, "norm_constants"):
+                self._norm_ok = False
+            else:
+                from .datasets import normalize_for_model
+                mean, std, inv255 = ds.norm_constants()
+                probe = (np.arange(6, dtype=np.float32)
+                         .reshape(2, 1, 3) * 51.0)
+                expected = normalize_for_model(probe / 255.0, ds.model)
+                got = (probe * inv255 - mean) / std
+                self._norm_ok = bool(np.allclose(expected, got, atol=1e-5))
+                if not self._norm_ok:
+                    import warnings
+                    warnings.warn(
+                        f"native prep constants do not reproduce "
+                        f"ModelDef.normalize for model {ds.model!r}; "
+                        f"using the python data path")
+        return self._norm_ok
+
     def _native_batch(self, pool, batch_idx):
         """Fast path: PIL decode to uint8 in threads, then one C++ call for
         crop/flip/normalize/batch (data/native/prep.cpp). Falls back to the
@@ -54,6 +81,8 @@ class TaskLoader:
         from . import native
         ds = self.dataset
         if (native.load() is None or not hasattr(ds, "get_raw")):
+            return None
+        if not self._native_norm_ok():
             return None
         items = list(pool.map(ds.get_raw, batch_idx))
         raw = [it[0] for it in items]
@@ -96,6 +125,13 @@ class TaskLoader:
         use_native = hasattr(self.dataset, "get_raw")
 
         def produce():
+            ds = self.dataset
+            # datasets with a seeded aug stream: draw it HERE (serially,
+            # in batch order) and ship the params to the pool workers —
+            # drawing inside __getitem__ from pool threads would make the
+            # crop/flip sequence depend on thread scheduling
+            serial_aug = (hasattr(ds, "getitem_with_aug")
+                          and hasattr(ds, "aug_params"))
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for batch_idx in batches:
                     if stop.is_set():
@@ -103,8 +139,14 @@ class TaskLoader:
                     item = (self._native_batch(pool, batch_idx)
                             if use_native else None)
                     if item is None:
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              batch_idx))
+                        if serial_aug:
+                            hw = ds.frame_hw()
+                            augs = [ds.aug_params(*hw) for _ in batch_idx]
+                            items = list(pool.map(
+                                lambda p: ds.getitem_with_aug(*p),
+                                zip(batch_idx, augs)))
+                        else:
+                            items = list(pool.map(ds.__getitem__, batch_idx))
                         item = (np.stack([it[0] for it in items]),
                                 [it[1] for it in items])
                     q.put(item)
@@ -154,8 +196,16 @@ class MetaLearningSystemDataLoader:
         self.mesh_task_size = max(1, int(mesh_task_size))
 
     def _loader(self, mode: str, epoch: int = 0) -> TaskLoader:
-        self.dataset.switch_set(mode)
-        loader = TaskLoader(self.dataset, self.batch_size[mode],
+        # per-split shallow copy: switch_set mutates current_set_name, and
+        # a still-running train producer thread sharing the dataset object
+        # would start serving val-branch items mid-batch (the reference is
+        # immune only because torch worker processes snapshot the dataset
+        # at fork). File lists are shared read-only; the seeded aug RNG
+        # object stays shared (only train draws from it).
+        import copy
+        dataset = copy.copy(self.dataset)
+        dataset.switch_set(mode)
+        loader = TaskLoader(dataset, self.batch_size[mode],
                             shuffle=(mode == "train"),
                             num_workers=self.num_workers, seed=self.seed,
                             drop_last=(mode == "train"

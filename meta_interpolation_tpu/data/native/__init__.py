@@ -15,6 +15,8 @@ import numpy as np
 _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "libprep.so")
 _SRC = os.path.join(_DIR, "prep.cpp")
+# None = not tried; False = build failed (memoized — retrying would spawn
+# a g++ subprocess and print a warning once per BATCH); CDLL = loaded
 _lib = None
 
 
@@ -33,10 +35,15 @@ def _build() -> bool:
 def load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib if _lib is not False else None
+    # ALWAYS build from source on this machine (-march=native): a stale or
+    # foreign-ISA libprep.so (e.g. from another host — checkout gives .so
+    # and .cpp equal mtimes) would SIGILL in-process. The .so is a build
+    # artifact, never committed (.gitignore).
     if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                   < os.path.getmtime(_SRC)):
+                                   <= os.path.getmtime(_SRC)):
         if not _build():
+            _lib = False
             return None
     lib = ctypes.CDLL(_SO)
     lib.prep_batch.argtypes = [

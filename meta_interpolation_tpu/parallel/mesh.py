@@ -100,6 +100,12 @@ def shard_task_spatial_batch(mesh: Mesh, frames):
     sp = mesh.shape[SPATIAL_AXIS]
     if sp == 1 or h % sp:
         return shard_task_batch(mesh, frames)
+    if np.shape(frames)[0] % mesh.shape[TASK_AXIS]:
+        # same replicated-tasks fallback as shard_task_batch (partial eval
+        # batches — e.g. val_batch_size=1 on a 4x2 mesh), keeping the rows
+        # sharded over the spatial axis
+        return jax.device_put(
+            frames, NamedSharding(mesh, P(None, None, SPATIAL_AXIS)))
     return jax.device_put(
         frames, NamedSharding(mesh, P(TASK_AXIS, None, SPATIAL_AXIS)))
 

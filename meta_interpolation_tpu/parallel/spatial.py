@@ -47,8 +47,10 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str = SPATIAL_AXIS
         top_rows, axis_name,
         [(i + 1, i) for i in range(n_dev - 1)])
 
-    # boundary devices replicate their own edge rows (reflect-free edge pad,
-    # consistent with tiling behavior)
+    # boundary devices REFLECT their own edge rows (jnp.flip = symmetric
+    # pad) — the halo context at the true frame top/bottom is synthetic
+    # either way (the unsharded model sees its own layer-by-layer edge
+    # padding there instead), see spatial_sharded_apply's accuracy note
     first = jnp.equal(idx, 0)
     last = jnp.equal(idx, n_dev - 1)
     top_pad = jnp.where(first, jnp.flip(x[:, :halo], 1), from_above)
@@ -61,10 +63,15 @@ def spatial_sharded_apply(apply_fn: Callable, mesh: Mesh, halo: int = 32):
     row-sharded over the 'spatial' mesh axis.
 
     Each shard computes on its rows + ``halo`` context rows and crops the
-    halo back off. Seam error is zero for ops whose receptive field radius
-    ≤ halo (conv stacks); global ops (CAIN's channel attention pooling) see
-    shard-local statistics — same class of approximation as the reference's
-    tiling, which splits those statistics too.
+    halo back off. INTERIOR seam error is zero for ops whose receptive
+    field radius ≤ halo (conv stacks). At the true frame top/bottom the
+    boundary shards see reflected halo rows where the unsharded model sees
+    its own per-layer edge padding, so rows within the receptive field of
+    the frame edge can differ slightly; global ops (CAIN's channel
+    attention pooling) see shard-local statistics — both the same class of
+    approximation as the reference's tiling (which splits statistics and
+    changes edge context too). Exact spatial sharding is the GSPMD path
+    (mesh.shard_task_spatial_batch / --spatial_shards).
     """
     from jax import shard_map
 

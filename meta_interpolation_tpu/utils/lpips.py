@@ -92,6 +92,15 @@ def load_lins_from_torch_state(state_dict) -> Dict[str, Any]:
                 w = np.asarray(state_dict[key])
                 lins[str(i)] = jnp.asarray(w.reshape(-1))
                 break
+    missing = [i for i in range(5) if str(i) not in lins]
+    if missing:
+        # fail at load time with the file's actual key layout — a partial
+        # dict would KeyError later inside the first jitted lpips() trace,
+        # far from the cause
+        raise ValueError(
+            f"lins state_dict is missing lin weights for layers {missing}; "
+            f"expected lin{{i}}.model.1.weight or lins.{{i}}.model.1.weight "
+            f"(got keys like {sorted(state_dict)[:4]})")
     return lins
 
 
@@ -112,7 +121,13 @@ def load_pretrained() -> Optional[Dict[str, Any]]:
         return None
     convs = load_alexnet_from_torch_state(
         ckpt_lib.load_torch_file(alex_path))
-    lins = load_lins_from_torch_state(ckpt_lib.load_torch_file(lins_path))
+    try:
+        lins = load_lins_from_torch_state(ckpt_lib.load_torch_file(lins_path))
+    except ValueError as e:
+        import sys
+        print(f"[lpips] WARNING: {lins_path} unusable ({e}); LPIPS runs "
+              f"on RANDOM-INIT lins.", file=sys.stderr, flush=True)
+        return None
     print(f"[lpips] loaded {alex_path} + {lins_path}")
     return {"convs": convs, "lins": lins}
 

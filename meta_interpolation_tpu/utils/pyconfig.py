@@ -32,8 +32,12 @@ def load_pyconfig(path: str) -> AttrDict:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     out = AttrDict()
+    # UPPERCASE module-level names only — the reference's loader contract
+    # (voxelflow/core/utils/config.py); mirroring every lowercase name
+    # would sweep imports and scratch variables into the config and let
+    # them silently override Config fields in merge_into_config
     for name in dir(mod):
-        if not name.startswith("_"):
+        if not name.startswith("_") and name.isupper():
             out[name.lower()] = getattr(mod, name)
     return out
 

@@ -179,7 +179,12 @@ def test_train_loader_drops_partial_batch_with_mesh():
     assert len(train_batches) == n // 3
     val_batches = list(data.get_val_batches())
     total_val = sum(b[0].shape[0] for b in val_batches)
-    assert total_val == len(data.dataset)
+    # the facade hands each split its own dataset copy (switch_set no
+    # longer mutates the shared object) — compare against the val length
+    import copy
+    ds_val = copy.copy(data.dataset)
+    ds_val.switch_set("val")
+    assert total_val == len(ds_val)
 
 
 def test_shard_task_batch_multihost_single_process():
