@@ -290,6 +290,10 @@ def main(argv=None):
                           "vs_baseline": round(tps, 4)}))
         return
     if argv and argv[0] == "--model":
+        if len(argv) < 2:
+            print(json.dumps({"error": "usage: bench.py --model "
+                              "{rrin|superslomo|voxelflow|dain|sepconv}"}))
+            return
         name = argv[1]
         kw = {"warp_range": 8} if name in ("rrin", "superslomo",
                                            "voxelflow") else {}

@@ -145,6 +145,18 @@ _BOOL_FLAGS = {
 }
 
 
+def _strict_bool(v: str) -> bool:
+    """true/false parser that REJECTS unknown tokens — a permissive
+    'v in ("true","1")' would turn a typo like '--jit_episode ture' into
+    a silent False (episodes running uncompiled)."""
+    lv = v.lower()
+    if lv in ("true", "1", "yes"):
+        return True
+    if lv in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true/false, got {v!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="TPU-native scene-adaptive video frame interpolation")
@@ -156,8 +168,7 @@ def build_parser() -> argparse.ArgumentParser:
         if field.name in _BOOL_FLAGS:
             parser.add_argument(name, action="store_true", default=default)
         elif field.name == "episode_parallel" or field.name == "jit_episode":
-            parser.add_argument(name, type=lambda v: v.lower() in ("true", "1"),
-                                default=default)
+            parser.add_argument(name, type=_strict_bool, default=default)
         elif field.type in ("Optional[str]",):
             parser.add_argument(name, type=str, default=default)
         elif isinstance(default, bool):

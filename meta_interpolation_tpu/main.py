@@ -20,19 +20,39 @@ def main(argv=None):
     print(f"devices: {jax.devices()}")
 
     mesh = None
-    if len(jax.devices()) > 1 and (cfg.episode_parallel
-                                   or cfg.spatial_shards > 1):
+    n_dev = len(jax.devices())
+    if cfg.spatial_shards > 1 and n_dev == 1:
+        # a sharding request that cannot be honored must not silently run
+        # the full-frame unsharded graph (the OOM it was meant to avoid)
+        raise ValueError(
+            f"--spatial_shards {cfg.spatial_shards} requested but only one "
+            f"device is visible; spatial sharding needs a multi-chip mesh")
+    if n_dev > 1 and (cfg.episode_parallel or cfg.spatial_shards > 1):
         from .parallel import mesh as mesh_lib
         shape = cfg.mesh_shape
+        devices = None
         if cfg.spatial_shards > 1 and not shape:
-            n_dev = len(jax.devices())
-            if n_dev % cfg.spatial_shards:
-                raise ValueError(
-                    f"--spatial_shards {cfg.spatial_shards} must divide "
-                    f"the device count ({n_dev})")
-            shape = (f"{n_dev // cfg.spatial_shards}"
-                     f"x{cfg.spatial_shards}")
-        mesh = mesh_lib.make_mesh(shape)
+            if not cfg.episode_parallel:
+                # honor --episode_parallel false: spatial-only mesh on the
+                # first spatial_shards devices, the rest stay idle
+                shape = f"1x{cfg.spatial_shards}"
+                devices = jax.devices()[:cfg.spatial_shards]
+                print(f"[mesh] episode_parallel off: using "
+                      f"{cfg.spatial_shards}/{n_dev} devices spatially")
+            else:
+                if n_dev % cfg.spatial_shards:
+                    raise ValueError(
+                        f"--spatial_shards {cfg.spatial_shards} must divide "
+                        f"the device count ({n_dev})")
+                shape = (f"{n_dev // cfg.spatial_shards}"
+                         f"x{cfg.spatial_shards}")
+        mesh = mesh_lib.make_mesh(shape, devices=devices)
+        from .parallel.mesh import SPATIAL_AXIS
+        if cfg.spatial_shards > 1 and mesh.shape[SPATIAL_AXIS] == 1:
+            raise ValueError(
+                f"--spatial_shards {cfg.spatial_shards} but --mesh_shape "
+                f"{shape} has a spatial axis of 1; use NxM with "
+                f"M == spatial_shards")
         print(f"mesh: {mesh}")
 
     system = SceneAdaptiveInterpolation(cfg, mesh=mesh)

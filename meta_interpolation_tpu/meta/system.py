@@ -526,11 +526,21 @@ class SceneAdaptiveInterpolation:
 
     # ------------------------------------------------------------------
     def state_dict(self) -> Dict[str, Any]:
+        # scheduler state included: without it a resume would reset a
+        # plateau-decayed LR back to cfg.outer_lr on the first epoch_end
         return {"meta_params": self.meta_params, "opt_state": self.opt_state,
-                "epoch": self.current_epoch}
+                "epoch": self.current_epoch,
+                "scheduler": {"lr": self.scheduler.lr,
+                              "best": self.scheduler.best,
+                              "bad_epochs": self.scheduler.bad_epochs}}
 
     def load_state_dict(self, state: Dict[str, Any]):
         self.meta_params = state["meta_params"]
         if state.get("opt_state") is not None:
             self.opt_state = state["opt_state"]
         self.current_epoch = int(state.get("epoch", 0))
+        sched = state.get("scheduler")
+        if sched:
+            self.scheduler.lr = float(sched["lr"])
+            self.scheduler.best = float(sched["best"])
+            self.scheduler.bad_epochs = int(sched["bad_epochs"])
