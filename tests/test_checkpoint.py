@@ -104,3 +104,27 @@ def test_fix_loaded_freezes_loaded_leaves():
     tm = system._trainable_mask["net"]["encoder"]["interpolate"]
     assert tm["headConv"]["kernel"] is False   # loaded -> frozen
     assert tm["tailConv"]["kernel"] is True    # unloaded -> still trains
+
+
+def test_state_dict_round_trips_scheduler():
+    """Resume must carry the plateau scheduler (a fresh scheduler would
+    reset a decayed LR back to cfg.outer_lr on the first epoch_end)."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    cfg = Config(model="cain", depth=2, n_resblocks=1, crop_size=32,
+                 outer_lr=1e-4)
+    sys1 = SceneAdaptiveInterpolation(cfg)
+    # drive the scheduler into a decayed state: 1 improvement + patience+1
+    # bad epochs (factor 0.2, patience 5)
+    sys1.epoch_end(1.0)
+    for _ in range(6):
+        sys1.epoch_end(2.0)
+    assert abs(sys1.scheduler.lr - 2e-5) < 1e-12
+    state = sys1.state_dict()
+
+    sys2 = SceneAdaptiveInterpolation(cfg)
+    sys2.load_state_dict(state)
+    assert abs(sys2.scheduler.lr - sys1.scheduler.lr) < 1e-12
+    assert sys2.scheduler.best == sys1.scheduler.best
+    assert sys2.scheduler.bad_epochs == sys1.scheduler.bad_epochs

@@ -114,3 +114,12 @@ def test_dain_forward_tiny():
     mask = dain_model.inner_mask(p)
     assert float(jax.tree.leaves(mask["rectifyNet"])[0]) == 1.0
     assert float(jax.tree.leaves(mask["depthNet"])[0]) == 0.0
+
+
+def test_dain_meta_apply_kwargs_fill_holes():
+    """The meta system must run every DAIN forward with hole filling on
+    (the reference keys fillhole on flow.requires_grad, and the meta
+    config freezes every flow-producing subnet — see models/dain/model.py
+    apply docstring)."""
+    from meta_interpolation_tpu.models import registry
+    assert registry.get("dain").meta_apply_kwargs == {"fill_holes": True}
