@@ -47,8 +47,11 @@ _WINDOW_SLAB_BYTES = 768 * 2**20
 # pixel vs the plain window gather's 4 (TPU gathers cost per gathered
 # segment). Costs a 4× source copy. Module-level so tests/micros can pin
 # either path; default decided by on-chip measurement
-# (scripts/fi_micro.py packed196 vs win196).
-_ROW_PACKED = False
+# (scripts/fi_micro.py packed196 vs win196). MIT_ROW_PACKED=1/0 overrides
+# for A/B benching.
+import os as _os
+
+_ROW_PACKED = _os.environ.get("MIT_ROW_PACKED", "0") == "1"
 
 
 def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,

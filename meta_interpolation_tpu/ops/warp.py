@@ -36,8 +36,10 @@ def _compute_dtype(dtype) -> jnp.dtype:
 # Row-packed single-segment quad gather (see ops/filter_interpolation.py
 # _ROW_PACKED): 1 gathered segment per pixel instead of 2, for a 2× source
 # copy. Module-level so tests/micros can pin either path; default decided
-# by on-chip measurement.
-_ROW_PACKED = False
+# by on-chip measurement. MIT_ROW_PACKED=1/0 overrides for A/B benching.
+import os as _os
+
+_ROW_PACKED = _os.environ.get("MIT_ROW_PACKED", "0") == "1"
 
 
 def _gather_quad(img: jnp.ndarray, x0i: jnp.ndarray, y0i: jnp.ndarray,
