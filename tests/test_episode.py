@@ -115,6 +115,42 @@ def test_msl_weighting():
     np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
 
 
+def test_msl_weighting_all_peel_shapes():
+    """MSL's last-step query reuse peels steps differently for n=1 (no
+    scan, step-0 query skipped), n=2 (two peels, no scan), n=3 (peel +
+    scan + peel) — each must match the hand-unrolled reference formula."""
+    for n in (1, 2, 3):
+        builder, opt = _builder(num_steps=n)
+        params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+        lrs = opt.init_lrs(params, 0.05)
+        frames = make_frames()
+        msl_w = jnp.linspace(0.2, 0.8, n)
+        spec = EpisodeSpec(num_steps=n, use_msl=True, second_order=True)
+        meta = {"net": params, "lrs": lrs}
+        loss, _, q = builder.task_episode(meta, frames, msl_w, spec,
+                                          training=True)
+
+        p = dict(params)
+        expected = 0.0
+        for step in range(n):
+            def support_loss(p_):
+                total = 0.0
+                for (i0, it, i1) in spec.support_idxs:
+                    pred = tiny_apply(p_, frames[i0][None], frames[i1][None])
+                    total = total + jnp.mean((pred - frames[it][None]) ** 2)
+                return total
+            g = jax.grad(support_loss)(p)
+            p = {k: p[k] - 0.05 * g[k] for k in p}
+            ql = float(jnp.mean((tiny_apply(p, frames[2][None],
+                                            frames[4][None])
+                                 - frames[3][None]) ** 2))
+            expected = expected + float(msl_w[step]) * ql
+        np.testing.assert_allclose(float(loss), expected, rtol=1e-5,
+                                   err_msg=f"n={n}")
+        # the reported query loss is the last step's query
+        np.testing.assert_allclose(float(q), ql, rtol=1e-5, err_msg=f"n={n}")
+
+
 def test_batched_episode_vmaps_over_tasks():
     builder, opt = _builder(num_steps=1)
     params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
