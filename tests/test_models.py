@@ -35,6 +35,13 @@ def test_rrin_forward_and_grad():
     assert all(np.isfinite(float(jnp.sum(jnp.abs(x))))
                for x in jax.tree.leaves(g))
 
+    # reference forward never threads adapted params into the Mask UNet
+    # (rrin/model.py:101) — the inner mask excludes it from adaptation
+    mask = rrin.inner_mask(p)
+    assert float(jax.tree.leaves(mask["Mask"])[0]) == 0.0
+    assert float(jax.tree.leaves(mask["Flow_L"])[0]) == 1.0
+    assert float(jax.tree.leaves(mask["final"])[0]) == 1.0
+
 
 def test_superslomo_forward_returns_aux():
     from meta_interpolation_tpu.models import superslomo
