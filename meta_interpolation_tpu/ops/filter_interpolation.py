@@ -41,17 +41,12 @@ FILTER_SIZE = 4
 # this to pin the multi-slab path.
 _WINDOW_SLAB_BYTES = 768 * 2**20
 
-# Row-packed single-segment gather: pack window rows y..y+3 into channels
-# (4 shifted copies concatenated) and flatten (W, 4c) into one axis so each
-# 4×4×C window is ONE contiguous 16c-element slice — 1 gathered segment per
-# pixel vs the plain window gather's 4 (TPU gathers cost per gathered
-# segment). Costs a 4× source copy. Module-level so tests/micros can pin
-# either path; default decided by on-chip measurement
-# (scripts/fi_micro.py packed196 vs win196). MIT_ROW_PACKED=1/0 overrides
-# for A/B benching.
-import os as _os
-
-_ROW_PACKED = _os.environ.get("MIT_ROW_PACKED", "0") == "1"
+# A "row-packed" single-segment gather (window rows packed into channels,
+# flattened (W, 4c) axis so each 4×4×C window is ONE contiguous slice) was
+# measured 10-30× SLOWER on chip than this window gather (scripts/fi_micro.py
+# at DAIN ctx shapes: stage2-like 27.4 ms taps vs 934 ms packed196) — the 4×
+# packed-copy materialization + strided flat gather defeats the per-segment
+# DMA saving — and was removed.
 
 
 def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
@@ -102,41 +97,18 @@ def filter_interpolation(img: jnp.ndarray, flow: jnp.ndarray,
     cs = max(1, min(c, _WINDOW_SLAB_BYTES
                     // (n * h * w * fs * fs * img.dtype.itemsize)))
     outs = []
-    if _ROW_PACKED:
-        # packed element order is [i (w-pos)][j (row)][c] — reorder the
-        # j-major weight stack to match
-        wgts_p = jnp.transpose(
-            wgts.reshape(n, h, w, fs, fs, 1),
-            (0, 1, 2, 4, 3, 5)).reshape(n, h, w, fs * fs, 1)
-        dnums = lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0, 1),
-            start_index_map=(0, 1, 2))
-        for c0 in range(0, c, cs):
-            sl = pad[..., c0:c0 + cs]
-            cw = sl.shape[-1]
-            packed = jnp.concatenate([sl[:, k:k + h] for k in range(fs)],
-                                     axis=-1)  # (n, h, w+3, fs*cw)
-            flat = packed.reshape(n, h, (w + 3) * fs * cw)
-            starts = jnp.stack([b_idx, row, col * (fs * cw)],
-                               axis=-1).reshape(n * h * w, 3)
-            vals = lax.gather(flat, starts, dnums,
-                              slice_sizes=(1, 1, fs * fs * cw),
-                              mode=lax.GatherScatterMode.CLIP)
-            vals = vals.reshape(n, h, w, fs * fs, cw)
-            outs.append(jnp.sum(vals * wgts_p, axis=3))
-    else:
-        dnums = lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2))
-        starts = jnp.stack([b_idx, row, col],
-                           axis=-1).reshape(n * h * w, 3)
-        for c0 in range(0, c, cs):
-            sl = pad[..., c0:c0 + cs]
-            vals = lax.gather(sl, starts, dnums,
-                              slice_sizes=(1, fs, fs, sl.shape[-1]),
-                              mode=lax.GatherScatterMode.CLIP)
-            vals = vals.reshape(n, h, w, fs * fs, -1)
-            outs.append(jnp.sum(vals * wgts, axis=3))
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    starts = jnp.stack([b_idx, row, col],
+                       axis=-1).reshape(n * h * w, 3)
+    for c0 in range(0, c, cs):
+        sl = pad[..., c0:c0 + cs]
+        vals = lax.gather(sl, starts, dnums,
+                          slice_sizes=(1, fs, fs, sl.shape[-1]),
+                          mode=lax.GatherScatterMode.CLIP)
+        vals = vals.reshape(n, h, w, fs * fs, -1)
+        outs.append(jnp.sum(vals * wgts, axis=3))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
 
     return jnp.where(valid[..., None], out, img)

@@ -10,11 +10,14 @@ TPU-native replacement for every ``F.grid_sample`` call in the reference:
   * DAIN interpolation_cuda / PWCNet warp — direct pixel-space flow.
 
 Formulated as ONE ``lax.gather`` of (2, 2, C) bilinear windows from an
-edge-padded copy (see ``_gather_quad``; the optional ``_ROW_PACKED``
-variant packs row pairs into channels so each window is a single
-contiguous segment). The backward pass is XLA's gather transpose — a
-scatter-add, race-free by construction (the reference needs atomicAdd
-for this, SURVEY.md §5).
+edge-padded copy (see ``_gather_quad``). The backward pass is XLA's
+gather transpose — a scatter-add, race-free by construction (the
+reference needs atomicAdd for this, SURVEY.md §5).
+
+A "row-packed" variant (row pairs packed into channels so each window is
+one contiguous flat segment) was measured 50-80× SLOWER on chip
+(2.72 → 134.65 ms at 448×256 c3) — the packed copy + strided flat gather
+defeats the per-row DMA saving — and was removed.
 """
 from __future__ import annotations
 
@@ -31,15 +34,6 @@ def _compute_dtype(dtype) -> jnp.dtype:
     (sub-pixel weights need f32 mantissa), f64 stays f64 (parity oracles
     run the whole pipeline in doubles)."""
     return jnp.promote_types(dtype, jnp.float32)
-
-
-# Row-packed single-segment quad gather (see ops/filter_interpolation.py
-# _ROW_PACKED): 1 gathered segment per pixel instead of 2, for a 2× source
-# copy. Module-level so tests/micros can pin either path; default decided
-# by on-chip measurement. MIT_ROW_PACKED=1/0 overrides for A/B benching.
-import os as _os
-
-_ROW_PACKED = _os.environ.get("MIT_ROW_PACKED", "0") == "1"
 
 
 def _gather_quad(img: jnp.ndarray, x0i: jnp.ndarray, y0i: jnp.ndarray,
@@ -66,33 +60,15 @@ def _gather_quad(img: jnp.ndarray, x0i: jnp.ndarray, y0i: jnp.ndarray,
                              (n, ho, wo))
     row = jnp.clip(y0i + 1, 0, h)
     col = jnp.clip(x0i + 1, 0, w)
-    if _ROW_PACKED:
-        # pack row pairs into channels and flatten (W, 2c) so the 2×2
-        # window is ONE contiguous 4c-element slice (1 gathered segment
-        # per pixel); packed element order is [i (w-pos)][j (row)][c]
-        packed = jnp.concatenate([pad[:, :h + 1], pad[:, 1:h + 2]],
-                                 axis=-1)  # (n, h+1, w+2, 2c)
-        flat = packed.reshape(n, h + 1, (w + 2) * 2 * c)
-        starts = jnp.stack([b_idx, row, col * (2 * c)],
-                           axis=-1).reshape(n * ho * wo, 3)
-        dnums = lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0, 1),
-            start_index_map=(0, 1, 2))
-        vals = lax.gather(flat, starts, dnums, slice_sizes=(1, 1, 4 * c),
-                          mode=lax.GatherScatterMode.CLIP)
-        vals = vals.reshape(n, ho, wo, 4, c)
-        order = (0, 2, 1, 3)  # [i][j] slots → (00, 01, 10, 11)
-        taps = [vals[..., k, :] for k in order]
-    else:
-        starts = jnp.stack([b_idx, row, col],
-                           axis=-1).reshape(n * ho * wo, 3)
-        dnums = lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2))
-        vals = lax.gather(pad, starts, dnums, slice_sizes=(1, 2, 2, c),
-                          mode=lax.GatherScatterMode.CLIP)
-        vals = vals.reshape(n, ho, wo, 4, c)
-        taps = [vals[..., k, :] for k in range(4)]  # 00, 01, 10, 11 (y, x)
+    starts = jnp.stack([b_idx, row, col],
+                       axis=-1).reshape(n * ho * wo, 3)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    vals = lax.gather(pad, starts, dnums, slice_sizes=(1, 2, 2, c),
+                      mode=lax.GatherScatterMode.CLIP)
+    vals = vals.reshape(n, ho, wo, 4, c)
+    taps = [vals[..., k, :] for k in range(4)]  # 00, 01, 10, 11 (y, x)
     if padding_mode == "zeros":
         inb_x = [(x0i >= 0) & (x0i <= w - 1),
                  (x0i + 1 >= 0) & (x0i + 1 <= w - 1)]

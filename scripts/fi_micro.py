@@ -191,20 +191,27 @@ def main():
     filt0 = jnp.asarray(rs.rand(1, H, W, 16), DT)
     filt2 = jnp.asarray(rs.rand(1, H, W, 16), DT)
 
-    # correctness vs production first (f32 — bf16 differs only by
-    # accumulation order)
-    ctx32, fl32, ft32 = (x.astype(jnp.float32) for x in (ctx, flow0, filt0))
-    ref = np.asarray(fi_mod.filter_interpolation(ctx32, fl32, ft32),
-                     np.float32)
-    for name, fn in VARIANTS.items():
-        if name == "taps":
-            continue
-        got = np.asarray(fn(ctx32, fl32, ft32), np.float32)
-        md = np.abs(got - ref).max()
-        print(f"{name:8s} max|diff| vs taps = {md:.3e}")
-        assert md < 1e-4, name
+    args = sys.argv[1:]
+    nocheck = "--nocheck" in args
+    args = [a for a in args if a != "--nocheck"]
+    only = args or list(VARIANTS)
 
-    only = sys.argv[1:] or list(VARIANTS)
+    if not nocheck:
+        # correctness vs production first (f32 — bf16 differs only by
+        # accumulation order). Each f32 compile is slow through the tunnel;
+        # --nocheck skips this for timing-only runs (the variants are
+        # correctness-pinned by tests/test_dain_ops.py).
+        ctx32, fl32, ft32 = (x.astype(jnp.float32)
+                             for x in (ctx, flow0, filt0))
+        ref = np.asarray(fi_mod.filter_interpolation(ctx32, fl32, ft32),
+                         np.float32)
+        for name, fn in VARIANTS.items():
+            if name == "taps" or name not in only:
+                continue
+            got = np.asarray(fn(ctx32, fl32, ft32), np.float32)
+            md = np.abs(got - ref).max()
+            print(f"{name:8s} max|diff| vs taps = {md:.3e}")
+            assert md < 1e-4, name
     for name in only:
         fn = VARIANTS[name]
         solo = marginal_ms(jax.jit(fn), (ctx, flow0, filt0))

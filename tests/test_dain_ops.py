@@ -163,33 +163,6 @@ def test_filter_interpolation_slabbed_path_matches(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_filter_interpolation_row_packed_matches(monkeypatch):
-    # the row-packed single-segment gather (window rows packed into
-    # channels, flattened (W, 4c) axis) must be bit-comparable to the
-    # plain window gather, including border clamping and slabbing
-    from meta_interpolation_tpu.ops import filter_interpolation as fi_mod
-    rs = np.random.RandomState(12)
-    img = rs.rand(2, 6, 7, 5).astype(np.float32)
-    flow = (rs.rand(2, 6, 7, 2).astype(np.float32) * 6 - 3)
-    filters = rs.rand(2, 6, 7, 16).astype(np.float32)
-    base = filter_interpolation(jnp.asarray(img), jnp.asarray(flow),
-                                jnp.asarray(filters))
-    monkeypatch.setattr(fi_mod, "_ROW_PACKED",
-                        not fi_mod._ROW_PACKED)
-    flipped = fi_mod.filter_interpolation(
-        jnp.asarray(img), jnp.asarray(flow), jnp.asarray(filters))
-    np.testing.assert_allclose(np.asarray(flipped), np.asarray(base),
-                               rtol=1e-6, atol=1e-6)
-    # slabbed row-packed path (2 channels per slab → 3 slabs)
-    monkeypatch.setattr(fi_mod, "_WINDOW_SLAB_BYTES",
-                        2 * 2 * 6 * 7 * 16 * np.dtype(np.float32).itemsize)
-    monkeypatch.setattr(fi_mod, "_ROW_PACKED", True)
-    slabbed = fi_mod.filter_interpolation(
-        jnp.asarray(img), jnp.asarray(flow), jnp.asarray(filters))
-    np.testing.assert_allclose(np.asarray(slabbed), np.asarray(base),
-                               rtol=1e-6, atol=1e-6)
-
-
 def test_filter_interpolation_differentiable():
     rs = np.random.RandomState(5)
     img = jnp.asarray(rs.rand(1, 5, 5, 2), jnp.float32)

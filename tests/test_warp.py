@@ -34,21 +34,6 @@ def test_grid_sample_matches_torch_all_modes():
                                        err_msg=f"ac={ac} pm={pm}")
 
 
-def test_grid_sample_row_packed_matches_torch(monkeypatch):
-    # the row-packed single-segment quad gather must preserve torch
-    # grid_sample semantics exactly, out-of-bounds taps included
-    monkeypatch.setattr(warp, "_ROW_PACKED", not warp._ROW_PACKED)
-    img = _rand((2, 9, 13, 3), 2)
-    grid = (_rand((2, 7, 11, 2), 3) * 2.4 - 1.2).astype(np.float32)
-    for ac in (False, True):
-        for pm in ("zeros", "border"):
-            expected = _torch_grid_sample(img, grid, ac, pm)
-            got = warp.grid_sample(jnp.asarray(img), jnp.asarray(grid),
-                                   align_corners=ac, padding_mode=pm)
-            np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5,
-                                       err_msg=f"packed ac={ac} pm={pm}")
-
-
 def test_rrin_warp_matches_reference_formula():
     """RRIN warp normalizes 2*(pos/size-0.5) with align_corners=False
     (rrin/model.py:8-21) — replicate that exact composition in torch."""
