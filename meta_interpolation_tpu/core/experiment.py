@@ -21,6 +21,7 @@ import numpy as np
 from ..config import Config
 from ..utils.meters import AverageMeter
 from . import checkpoint as ckpt_lib
+from . import metrics as metrics_lib
 
 
 class ExperimentBuilder:
@@ -126,20 +127,31 @@ class ExperimentBuilder:
                                               AverageMeter())
         lpips_meter = AverageMeter()
         limit = self.system.model_def.tile_pixel_limit
+        dn = self.system.model_def.denormalize
+        qt = self.cfg.target_idxs[1]
         for frames, meta in self.data.get_val_batches(total_batches):
-            losses, preds = self._tiled_val_iter(np.asarray(frames), limit)
+            frames_np = np.asarray(frames)
+            losses, preds = self._tiled_val_iter(frames_np, limit)
             loss_meter.update(losses["loss"])
-            psnr_meter.update(losses.get("psnr", 0.0))
-            ssim_meter.update(losses.get("ssim", 0.0))
+            # Reference metric protocol (experiment_builder.py:115,131-141):
+            # PSNR/SSIM are computed ONCE on the STITCHED full-frame
+            # prediction vs the full target, batch element 0 only
+            # (`outputs[0]` vs `images[3][0]`) — never by averaging per-tile
+            # PSNRs (PSNR is log-of-mean-MSE, so mean-of-tile-PSNRs differs
+            # on any tiled frame). Per-tile psnr/ssim still ride along in
+            # `losses` from the episode, but are not what we report.
+            pred0 = np.asarray(dn(np.asarray(preds)[0]))
+            tgt0 = np.asarray(dn(frames_np[0, qt]))
+            psnr_v, ssim_v = metrics_lib.calc_metrics(pred0, tgt0)
+            psnr_meter.update(float(psnr_v))
+            ssim_meter.update(float(ssim_v))
             if self.cfg.lpips:
                 # reference utils.py:195-211: LPIPS alongside PSNR/SSIM
                 # when --lpips (external package there; jax port here)
                 from ..utils.profiling import eval_lpips
-                dn = self.system.model_def.denormalize
-                qt = self.cfg.target_idxs[1]
                 lpips_meter.update(eval_lpips(
                     np.clip(np.asarray(dn(preds)), 0, 1),
-                    np.clip(np.asarray(dn(np.asarray(frames)[:, qt])), 0, 1)))
+                    np.clip(np.asarray(dn(frames_np[:, qt])), 0, 1)))
             if save_images and self.cfg.viz:
                 from ..utils.viz import save_batch_images
                 out_root = os.path.join(self.exp_dir, self.cfg.dataset)
