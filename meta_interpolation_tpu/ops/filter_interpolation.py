@@ -43,7 +43,7 @@ _WINDOW_SLAB_BYTES = 768 * 2**20
 
 # A "row-packed" single-segment gather (window rows packed into channels,
 # flattened (W, 4c) axis so each 4×4×C window is ONE contiguous slice) was
-# measured 10-30× SLOWER on chip than this window gather (scripts/fi_micro.py
+# measured ~34× SLOWER on chip than this window gather (scripts/fi_micro.py
 # at DAIN ctx shapes: stage2-like 27.4 ms taps vs 934 ms packed196) — the 4×
 # packed-copy materialization + strided flat gather defeats the per-segment
 # DMA saving — and was removed.

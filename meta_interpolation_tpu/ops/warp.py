@@ -15,9 +15,10 @@ gather transpose — a scatter-add, race-free by construction (the
 reference needs atomicAdd for this, SURVEY.md §5).
 
 A "row-packed" variant (row pairs packed into channels so each window is
-one contiguous flat segment) was measured 50-80× SLOWER on chip
-(2.72 → 134.65 ms at 448×256 c3) — the packed copy + strided flat gather
-defeats the per-row DMA saving — and was removed.
+one contiguous flat segment) was measured ~50× SLOWER on chip
+(2.72 → 134.65 ms at 448×256 c3; archival — the measuring script
+scripts/warp_micro.py was removed, see BASELINE.md) — the packed copy +
+strided flat gather defeats the per-row DMA saving — and was removed.
 """
 from __future__ import annotations
 

@@ -198,9 +198,11 @@ def main():
 
     if not nocheck:
         # correctness vs production first (f32 — bf16 differs only by
-        # accumulation order). Each f32 compile is slow through the tunnel;
-        # --nocheck skips this for timing-only runs (the variants are
-        # correctness-pinned by tests/test_dain_ops.py).
+        # accumulation order). Each f32 compile is slow through the tunnel.
+        # Only the production taps path is test-pinned
+        # (tests/test_dain_ops.py); the script-local variants are checked
+        # ONLY here, so --nocheck runs them entirely unchecked — timing-only,
+        # at the user's risk.
         ctx32, fl32, ft32 = (x.astype(jnp.float32)
                              for x in (ctx, flow0, filt0))
         ref = np.asarray(fi_mod.filter_interpolation(ctx32, fl32, ft32),
