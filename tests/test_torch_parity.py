@@ -99,10 +99,9 @@ def test_superslomo_unet_matches_reference_torch():
     from meta_interpolation_tpu.core import checkpoint as ckpt
     from meta_interpolation_tpu.models import superslomo as ssm
 
-    try:
-        MetaUNet = _import_ref("superslomo.model", "MetaUNet")
-    except (ImportError, ModuleNotFoundError):
-        pytest.skip("reference superslomo imports torchvision (unavailable)")
+    from ref_stubs import stub_torchvision
+    stub_torchvision()  # unused import at superslomo/model.py:2-3
+    MetaUNet = _import_ref("superslomo.model", "MetaUNet")
     torch.manual_seed(2)
     net = MetaUNet(6, 4)
     net.eval()
@@ -129,12 +128,11 @@ def test_sepconv_encoder_matches_reference_torch():
     from meta_interpolation_tpu.models import sepconv as our_sepconv
 
     # The reference MetaNetwork imports its cupy op at module import; the
-    # op itself is only touched in forward, but `import cupy` happens at
-    # import time — skip if unavailable.
-    try:
-        MetaNetwork = _import_ref("sepconv.model", "MetaNetwork")
-    except ImportError:
-        pytest.skip("reference sepconv imports cupy (unavailable)")
+    # op itself is only touched in forward — the stub satisfies the import
+    # (full forward parity: test_torch_parity_ext.py).
+    from ref_stubs import stub_cupy
+    stub_cupy()
+    MetaNetwork = _import_ref("sepconv.model", "MetaNetwork")
 
     torch.manual_seed(3)
     net = MetaNetwork(resume=False)

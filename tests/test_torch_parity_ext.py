@@ -319,6 +319,110 @@ def test_rrin_full_matches_reference_torch():
 
 
 # ---------------------------------------------------------------------------
+# SuperSloMo — COMPOSED full forward (superslomo/model.py:547-670):
+# both UNets, the time-indexed flow/warp coefficient tables, the cached-grid
+# backWarp, visibility blend, and the aux dict the Super loss consumes.
+# torchvision (an unused import at :2-3) is stubbed; everything that runs
+# is pure torch.
+# ---------------------------------------------------------------------------
+
+def test_superslomo_full_matches_reference_torch():
+    import importlib
+
+    import torch
+    from ref_stubs import stub_torchvision
+    from meta_interpolation_tpu.models import superslomo as ssm
+
+    _ref_path()
+    stub_torchvision()
+    ref_mod = importlib.import_module("superslomo.model")
+
+    torch.manual_seed(13)
+    net = ref_mod.MetaSuperSloMo("cpu", resume=False)
+    net.eval()
+
+    rs = np.random.RandomState(13)
+    # 64-divisible input keeps the reflect pad (:567-575) out of play;
+    # inputs roughly mean-subtracted like the real pipeline
+    x0 = (rs.rand(1, 3, 64, 64).astype(np.float32) - 0.42)
+    x1 = (rs.rand(1, 3, 64, 64).astype(np.float32) - 0.42)
+    with torch.no_grad():
+        ft_ref, aux_ref = net(torch.from_numpy(x0), torch.from_numpy(x1),
+                              ind=3)
+
+    merged = _convert(net, ssm.init(jax.random.PRNGKey(0)))
+    got, aux = ssm.apply(merged, jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                         jnp.asarray(x1.transpose(0, 2, 3, 1)), ind=3)
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ft_ref),
+                               rtol=1e-3, atol=2e-4)
+    for key in ("bidirectional_flow", "warped_intermediate_frames",
+                "warped_input_frames"):
+        for ours, ref in zip(aux[key], aux_ref[key]):
+            np.testing.assert_allclose(np.asarray(ours), _to_nhwc(ref),
+                                       rtol=1e-3, atol=2e-4, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# SepConv — COMPOSED full forward (sepconv/model.py:252-349) with our
+# sepconv op substituted on the torch side (the cupy CUDA kernel cannot run
+# on CPU; both sides use identical adaptive-filter values, so this pins the
+# encoder-decoder, the four 51-tap kernel subnets, the replicate-pad-to-x128
+# protocol, and the two-frame sum/crop composition)
+# ---------------------------------------------------------------------------
+
+def test_sepconv_full_matches_reference_torch():
+    import importlib
+
+    import torch
+    from ref_stubs import stub_cupy
+    from meta_interpolation_tpu.models import sepconv as our_sepconv
+    from meta_interpolation_tpu.ops import sepconv as our_op
+
+    _ref_path()
+    stub_cupy()
+    ref_mod = importlib.import_module("sepconv.model")
+
+    def t2j(t):
+        return jnp.asarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+    def j2t(a):
+        return torch.from_numpy(
+            np.ascontiguousarray(np.asarray(a).transpose(0, 3, 1, 2)))
+
+    class FunctionSepconvStub:
+        @staticmethod
+        def apply(inp, kv, kh):
+            return j2t(our_op.sepconv(t2j(inp), t2j(kv), t2j(kh),
+                                      use_pallas=False))
+
+    saved = ref_mod.sepconv
+    ref_mod.sepconv = types.SimpleNamespace(
+        FunctionSepconv=FunctionSepconvStub)
+    try:
+        torch.manual_seed(3)
+        net = ref_mod.MetaNetwork(resume=False)
+        net.eval()
+        rs = np.random.RandomState(14)
+        # 78x78: 25px replicate margin + 78 = 128 — exactly one x128 tile,
+        # minimal CPU cost with the full pad protocol still exercised
+        x0 = rs.rand(1, 3, 78, 78).astype(np.float32)
+        x1 = rs.rand(1, 3, 78, 78).astype(np.float32)
+        with torch.no_grad(), _cpu_cuda_patch():
+            # forward builds ReplicationPad2d modules with .cuda() (:261-266)
+            expected = _to_nhwc(net(torch.from_numpy(x0),
+                                    torch.from_numpy(x1)))
+    finally:
+        ref_mod.sepconv = saved
+
+    merged = _convert(net, our_sepconv.init(jax.random.PRNGKey(0)))
+    got = our_sepconv.apply(merged, jnp.asarray(x0.transpose(0, 2, 3, 1)),
+                            jnp.asarray(x1.transpose(0, 2, 3, 1)),
+                            use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3,
+                               atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # Per-step MetaBatchNormLayer (model_utils.py:419-535)
 # ---------------------------------------------------------------------------
 
@@ -379,6 +483,98 @@ def test_meta_batch_norm_matches_reference_torch():
                  "bias": jnp.asarray(b.numpy())})
     np.testing.assert_allclose(np.asarray(out_ours).transpose(0, 3, 1, 2),
                                out_ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Per-step BN statistics THROUGH AN EPISODE (VERDICT r2 item 5): the
+# episode-threaded stat evolution across 2 inner steps must reproduce the
+# torch MetaBatchNormLayer driven through the reference's forward sequence
+# (meta_learning_system.py:386-432: per step, support pair A then B, then
+# the post-adaptation query — every call F.batch_norm(training=True)), and
+# eval must leave the meta-level stats untouched (per-task
+# restore_backup_stats, :463-464).
+# ---------------------------------------------------------------------------
+
+def test_per_step_bn_stats_episode_matches_reference_torch():
+    import torch
+    from meta_interpolation_tpu.meta.episode import (EpisodeBuilder,
+                                                     EpisodeSpec)
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+    from meta_interpolation_tpu.models import layers as L
+
+    _ref_path()
+    from model_utils import MetaBatchNormLayer
+
+    C, S = 5, 2
+    args = types.SimpleNamespace(
+        learnable_bn_gamma=True, learnable_bn_beta=True,
+        enable_inner_loop_optimizable_bn_params=True,  # flat (C,) affine —
+        # the combination our voxelflow per-step mode implements
+        number_of_training_steps_per_iter=S)
+    torch.manual_seed(21)
+    ref = MetaBatchNormLayer(C, device="cpu", args=args,
+                             use_per_step_bn_statistics=True)
+
+    rs = np.random.RandomState(21)
+    frames = rs.rand(7, 4, 6, C).astype(np.float32)
+    scale = (rs.rand(C) + 0.5).astype(np.float32)
+    bias = (rs.rand(C) - 0.5).astype(np.float32)
+
+    # our model: pred = per-step-BN(f0) with the flat adaptable affine.
+    # The BN input is pure data, so the stat evolution decouples from the
+    # affine adaptation (which still runs — SGD on scale/bias).
+    def apply_fn(params, f0, f1, num_step=0, bn_state=None):
+        p = {"weight": params["scale"], "bias": params["bias"],
+             "running_mean": bn_state["running_mean"],
+             "running_var": bn_state["running_var"]}
+        out, new = L.meta_batch_norm_apply(
+            p, f0, num_step=num_step,
+            adapted={"weight": params["scale"], "bias": params["bias"]})
+        return out, {"running_mean": new["running_mean"],
+                     "running_var": new["running_var"]}
+
+    def loss_fn(pred, target, aux=None):
+        l = jnp.mean(jnp.abs(pred - target))
+        return {"L1": l, "total": l}
+
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=S)
+    builder = EpisodeBuilder(apply_fn, loss_fn, opt)
+    builder.passes_bn_state = True
+    net = {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}
+    meta = {"net": net, "lrs": opt.init_lrs(net, 0.01),
+            "bn_state": {"running_mean": jnp.zeros((S, C)),
+                         "running_var": jnp.ones((S, C))}}
+    spec = EpisodeSpec(num_steps=S)
+    outer_loss, pred, q_loss, bn = builder.task_episode(
+        meta, jnp.asarray(frames), jnp.ones((S,)), spec, training=True)
+
+    # torch oracle: the same sequence of training-mode forwards mutating
+    # the per-step rows in place
+    x_nchw = frames.transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        w, b = torch.from_numpy(scale), torch.from_numpy(bias)
+        for step in range(S):
+            for (i0, _it, _i1) in spec.support_idxs:
+                ref(torch.from_numpy(x_nchw[i0][None]), num_step=step,
+                    params={"weight": w, "bias": b}, training=True)
+        ref(torch.from_numpy(x_nchw[spec.target_idxs[0]][None]),
+            num_step=S - 1, params={"weight": w, "bias": b}, training=True)
+
+    np.testing.assert_allclose(np.asarray(bn["running_mean"]),
+                               ref.running_mean.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bn["running_var"]),
+                               ref.running_var.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+    # eval episode: the meta-level state is not mutated (functional), and
+    # the returned per-task state is simply dropped by the system —
+    # restore_backup_stats semantics
+    before = np.asarray(meta["bn_state"]["running_mean"]).copy()
+    builder.task_episode(meta, jnp.asarray(frames), jnp.ones((S,)), spec,
+                         training=False)
+    np.testing.assert_array_equal(
+        np.asarray(meta["bn_state"]["running_mean"]), before)
 
 
 # ---------------------------------------------------------------------------
