@@ -53,6 +53,17 @@ class Config:
     number_of_evaluation_steps_per_iter: int = 1
     learnable_per_layer_per_step_inner_loop_learning_rate: bool = False
     enable_inner_loop_optimizable_bn_params: bool = False
+    # per-step BN running statistics (reference MetaBatchNormLayer with
+    # use_per_step_bn_statistics, model_utils.py:453-461,504-521): BN runs
+    # in train mode — batch-stat normalization, per-step running rows
+    # updated on every forward — with the state threaded through the
+    # episode; persisted across iterations at train, discarded per task
+    # at eval/test (restore_backup_stats, meta_learning_system.py:463-464).
+    # Opt-in: no reference preset reaches this layer mode (the backbones'
+    # own BN is frozen); models must provide ModelDef.bn_state_init_fn
+    # (voxelflow). Composes with
+    # --enable_inner_loop_optimizable_bn_params (adaptable flat affine).
+    per_step_bn_statistics: bool = False
     second_order: bool = False
     first_order_to_second_order_epoch: int = -1
     use_multi_step_loss_optimization: bool = False
@@ -97,14 +108,11 @@ class Config:
     # GAN discriminator update cadence. Default (False): one update per
     # outer iteration on the query preds. True: reference cadence — the
     # reference updates D inside EVERY criterion call (loss.py:168-213 —
-    # per support pair x inner step, plus the query), a ~(2k+1)x higher
-    # D/G update ratio; the episode then also collects the per-step
-    # support predictions to feed those updates. Known gap: while MSL is
-    # active (epoch < multi_step_loss_num_epochs) the reference's
-    # per-step QUERY criterion calls also update D — those per-step
-    # query preds are not collected here, so the replay covers support
-    # pairs + final query only (exact cadence once MSL decays out; no
-    # reference preset combines GAN with MSL).
+    # per support pair x inner step, plus the query; while MSL is active,
+    # also each step's query criterion), a ~(2k+1)x higher D/G update
+    # ratio. The episode collects the per-step support predictions (and,
+    # under MSL, the per-step query predictions) so the system replays
+    # every criterion call's D update in episode order.
     disc_per_forward: bool = False
     # second-order inner-grad convs as pure tap-einsums (no grouped convs
     # in the double-backward; outer grads bit-equivalent — pinned by
@@ -138,7 +146,8 @@ class Config:
 _BOOL_FLAGS = {
     "resume", "fix_loaded",
     "learnable_per_layer_per_step_inner_loop_learning_rate",
-    "enable_inner_loop_optimizable_bn_params", "second_order",
+    "enable_inner_loop_optimizable_bn_params", "per_step_bn_statistics",
+    "second_order",
     "use_multi_step_loss_optimization", "attenuate", "metasgd",
     "use_tensorboard", "viz", "lpips", "remat", "disc_per_forward",
     "second_order_einsum",

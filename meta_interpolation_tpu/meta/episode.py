@@ -90,6 +90,13 @@ class EpisodeSpec:
     # the reference-cadence GAN discriminator updates (--disc_per_forward;
     # the reference updates D inside every criterion call, loss.py:168-213)
     collect_support_preds: bool = False
+    # additionally collect the per-step MSL query predictions for steps
+    # 0..n-2 (aux['query_preds'], (B, n-1, H, W, C); the last step's query
+    # pred is aux['preds']) — while MSL is active the reference's per-step
+    # QUERY criterion calls also update D (loss.py:168-213 via
+    # meta_learning_system.py:404-412), so the --disc_per_forward replay
+    # needs them to be cadence-exact under MSL
+    collect_query_preds: bool = False
     # second-order inner-grad convs as pure tap-einsums (all derivative
     # orders vmap-native — no grouped convs in the double-backward).
     # OPT-IN: outer-grad equivalence is pinned by test, but at full CAIN
@@ -145,6 +152,18 @@ class EpisodeBuilder:
         # forwards use the last step index, like the reference's
         # post-adaptation net_forward(num_step=num_steps-1).
         self.passes_num_step = False
+        # when True, apply_fn is called as apply(params, f0, f1,
+        # num_step=..., bn_state=...) and returns (pred, new_bn_state):
+        # per-step BN running statistics (reference MetaBatchNormLayer
+        # with use_per_step_bn_statistics, model_utils.py:453-461,
+        # 504-521). The state threads SEQUENTIALLY through every forward
+        # of a task (support pair A → B → [MSL query] → next step →
+        # final query — the in-place mutation order of the reference's
+        # F.batch_norm(training=True) calls) and the task's final state
+        # is returned; the caller persists it (training) or drops it
+        # (eval — the reference's per-task restore_backup_stats,
+        # meta_learning_system.py:463-464). Stats never carry gradients.
+        self.passes_bn_state = False
         # L2F: bool tree marking the leaves that form the attenuator's
         # grad embedding and receive gamma scaling (the reference's
         # names_weights_copy membership — requires_grad=True leaves).
@@ -152,9 +171,18 @@ class EpisodeBuilder:
         self.att_keep: Optional[PyTree] = None
 
     # -- loss plumbing -----------------------------------------------------
-    def _pair_loss(self, params, f0, f1, target, loss_ctx=None, num_step=0):
+    def _pair_loss(self, params, f0, f1, target, loss_ctx=None, num_step=0,
+                   bn_state=None):
+        """One criterion call → (loss_total, pred, new_bn_state); the BN
+        state slot is None unless ``passes_bn_state``."""
         kw = {"num_step": num_step} if self.passes_num_step else {}
+        if self.passes_bn_state:
+            kw["num_step"] = num_step
+            kw["bn_state"] = bn_state
         out = self.apply_fn(params, f0[None], f1[None], **kw)
+        bn_out = None
+        if self.passes_bn_state:
+            out, bn_out = out
         if isinstance(out, tuple):
             pred, aux = out
             aux = dict(aux)
@@ -165,20 +193,26 @@ class EpisodeBuilder:
             losses = self.loss_fn(pred, target[None], aux, ctx=loss_ctx)
         else:
             losses = self.loss_fn(pred, target[None], aux)
-        return losses["total"], pred[0]
+        return losses["total"], pred[0], bn_out
 
     def _support_loss(self, params, frames, spec: EpisodeSpec, loss_ctx=None,
-                      num_step=0, with_preds: bool = False):
+                      num_step=0, with_preds: bool = False, bn_state=None):
         total = 0.0
         preds = []
+        bn = bn_state
         for (i0, it, i1) in spec.support_idxs:
-            loss, pred = self._pair_loss(params, frames[i0], frames[i1],
-                                         frames[it], loss_ctx,
-                                         num_step=num_step)
+            loss, pred, bn_out = self._pair_loss(params, frames[i0],
+                                                 frames[i1], frames[it],
+                                                 loss_ctx, num_step=num_step,
+                                                 bn_state=bn)
+            if self.passes_bn_state:
+                # pair B's forward sees pair A's updated stats — the
+                # reference's sequential in-place F.batch_norm updates
+                bn = bn_out
             total = total + loss
             preds.append(pred)
         if with_preds:
-            return total, jnp.stack(preds)
+            return total, (jnp.stack(preds), bn)
         return total
 
     def _masked(self, grads):
@@ -248,27 +282,35 @@ class EpisodeBuilder:
     # -- single-task episode ----------------------------------------------
     def adapt(self, net_params: PyTree, lrs: PyTree, frames: jnp.ndarray,
               spec: EpisodeSpec, attenuator: Optional[PyTree] = None,
-              collect_msl: bool = False, loss_ctx=None):
+              collect_msl: bool = False, loss_ctx=None, bn_state=None):
         """Inner-loop adaptation on one task.
 
         frames: (T, H, W, C). Returns ``(adapted_params,
-        per_step_query_losses, support_preds)``: the losses array is only
-        populated when ``collect_msl``; support_preds is the per-step
-        stack of pre-update support-pair predictions when
+        per_step_query_losses, support_preds, query_preds)``: the losses
+        array is only populated when ``collect_msl``; support_preds is the
+        per-step stack of pre-update support-pair predictions when
         ``spec.collect_support_preds`` (else an empty placeholder — shape
-        (1, 0) in the num_steps == 0 early return below).
+        (1, 0) in the num_steps == 0 early return below); query_preds is
+        the per-step MSL query predictions for steps 0..n-2 when
+        ``spec.collect_query_preds`` (else a (1, 0) placeholder).
+        When ``passes_bn_state``, a FIFTH element is appended: the task's
+        final per-step BN running statistics (threaded sequentially
+        through every forward, starting from ``bn_state``).
         """
         if spec.attenuate and attenuator is not None:
             net_params = self._attenuate(net_params, attenuator, frames, spec,
                                          loss_ctx)
 
         if spec.num_steps == 0:
-            return net_params, jnp.zeros((0,)), jnp.zeros((1, 0))
+            out0 = (net_params, jnp.zeros((0,)), jnp.zeros((1, 0)),
+                    jnp.zeros((1, 0)))
+            return out0 + ((bn_state,) if self.passes_bn_state else ())
 
         q0, qt, q1 = spec.target_idxs
         opt_state = self.inner_opt.init_state(net_params)
 
-        def one_step(params, opt_state, step_idx, msl_query=collect_msl):
+        def one_step(params, opt_state, bn, step_idx,
+                     msl_query=collect_msl):
             # First order: block tangents at the *input* of the inner grad
             # (not just its output) so the outer linearization never enters
             # the gradient computation — required for ops whose custom-VJP
@@ -305,6 +347,11 @@ class EpisodeBuilder:
                 mode = "einsum" if spec.second_order_einsum else False
             else:
                 mode = True
+            # BN running stats are buffers: their updates never carry
+            # gradients (the reference mutates nn.Parameters with
+            # requires_grad=False) — block tangents at the input
+            bn_src = (jax.tree.map(jax.lax.stop_gradient, bn)
+                      if self.passes_bn_state else bn)
             with L.episode_fast_conv(mode):
                 # support preds ride along as grad aux — the pre-update
                 # predictions of this step's support forwards are exactly
@@ -313,12 +360,14 @@ class EpisodeBuilder:
                 # differentiated forward reuses the residuals XLA keeps
                 # for the backward instead of re-running every support
                 # forward a second time
-                grads, sp = jax.grad(
+                grads, (sp, bn_out) = jax.grad(
                     lambda p: self._support_loss(
                         self._prune_frozen(p, spec.second_order),
                         frames, spec, ctx_src, num_step=step_idx,
-                        with_preds=True),
+                        with_preds=True, bn_state=bn_src),
                     has_aux=True)(grad_src)
+            if self.passes_bn_state:
+                bn = jax.tree.map(jax.lax.stop_gradient, bn_out)
             if not spec.second_order:
                 grads = jax.lax.stop_gradient(grads)
             if spec.collect_support_preds:
@@ -334,12 +383,19 @@ class EpisodeBuilder:
             # task_episode computes anyway (one full forward saved per
             # MSL task; the reference computes that forward once too)
             if msl_query:
-                q_loss, _ = self._pair_loss(params, frames[q0], frames[q1],
-                                            frames[qt], loss_ctx,
-                                            num_step=step_idx)
+                q_loss, q_pred, bn_q = self._pair_loss(
+                    params, frames[q0], frames[q1], frames[qt], loss_ctx,
+                    num_step=step_idx, bn_state=bn)
+                if self.passes_bn_state:
+                    bn = jax.tree.map(jax.lax.stop_gradient, bn_q)
+                # the per-step query pred feeds D updates only — never
+                # backprop through it (same as support_preds below)
+                qp = (jax.lax.stop_gradient(q_pred)
+                      if spec.collect_query_preds else jnp.zeros((0,)))
             else:
                 q_loss = jnp.zeros(())
-            return params, opt_state, q_loss, sp
+                qp = jnp.zeros((0,))
+            return params, opt_state, bn, q_loss, sp, qp
 
         # Step 0 is peeled out of the scan: at that point the params are
         # still the (per-task-identical) meta init, so under the episode
@@ -353,25 +409,29 @@ class EpisodeBuilder:
         # already per-task and the step-0 peel is math-neutral.)
         n = spec.num_steps
         last_peeled = collect_msl and n >= 1
-        net_params, opt_state, q_loss0, sp0 = one_step(
-            net_params, opt_state, 0,
+        bn = bn_state
+        net_params, opt_state, bn, q_loss0, sp0, qp0 = one_step(
+            net_params, opt_state, bn, 0,
             msl_query=collect_msl and not (last_peeled and n == 1))
         mid_losses = []
         mid_preds = []
+        mid_qpreds = []
         scan_hi = n - 1 if last_peeled else n
         if scan_hi > 1:
             def body(carry, step_idx):
-                p, o = carry
-                p, o, ql, sp = one_step(p, o, step_idx)
-                return (p, o), (ql, sp)
+                p, o, b = carry
+                p, o, b, ql, sp, qp = one_step(p, o, b, step_idx)
+                return (p, o, b), (ql, sp, qp)
 
-            (net_params, opt_state), (rest, sp_rest) = jax.lax.scan(
-                body, (net_params, opt_state), jnp.arange(1, scan_hi))
+            ((net_params, opt_state, bn),
+             (rest, sp_rest, qp_rest)) = jax.lax.scan(
+                body, (net_params, opt_state, bn), jnp.arange(1, scan_hi))
             mid_losses.append(rest)
             mid_preds.append(sp_rest)
+            mid_qpreds.append(qp_rest)
         if last_peeled and n > 1:
-            net_params, opt_state, _, sp_last = one_step(
-                net_params, opt_state, n - 1, msl_query=False)
+            net_params, opt_state, bn, _, sp_last, _ = one_step(
+                net_params, opt_state, bn, n - 1, msl_query=False)
             mid_preds.append(sp_last[None])
         # step_losses covers steps 0..n-2 under MSL (length n-1; the last
         # step's term is task_episode's query), all n steps otherwise
@@ -382,7 +442,19 @@ class EpisodeBuilder:
         preds = [sp0[None]] + mid_preds
         support_preds = (jnp.concatenate(preds) if len(preds) > 1
                          else preds[0])
-        return net_params, step_losses, support_preds
+        # per-step MSL query preds: exactly the msl_query=True steps
+        # (0..n-2; the last step's query pred is task_episode's). Empty
+        # placeholder when not collecting (or n == 1, where the only query
+        # criterion call IS the final one).
+        if (spec.collect_query_preds and collect_msl
+                and not (last_peeled and n == 1)):
+            qpreds = [qp0[None]] + mid_qpreds
+            query_preds = (jnp.concatenate(qpreds) if len(qpreds) > 1
+                           else qpreds[0])
+        else:
+            query_preds = jnp.zeros((1, 0))
+        out = (net_params, step_losses, support_preds, query_preds)
+        return out + ((bn,) if self.passes_bn_state else ())
 
     def task_episode(self, meta_params: PyTree, frames: jnp.ndarray,
                      msl_weights: jnp.ndarray, spec: EpisodeSpec,
@@ -398,9 +470,12 @@ class EpisodeBuilder:
         # num_steps == 0 under MSL would make the outer loss an empty sum
         # (the system rejects that config; guarded here for direct users)
         collect_msl = spec.use_msl and training and spec.num_steps > 0
-        adapted, step_losses, support_preds = self.adapt(
-            net, lrs, frames, spec, attenuator=attenuator,
-            collect_msl=collect_msl, loss_ctx=loss_ctx)
+        bn0 = meta_params.get("bn_state") if self.passes_bn_state else None
+        adapted, step_losses, support_preds, query_preds, *bn_rest = \
+            self.adapt(net, lrs, frames, spec, attenuator=attenuator,
+                       collect_msl=collect_msl, loss_ctx=loss_ctx,
+                       bn_state=bn0)
+        bn = bn_rest[0] if bn_rest else None
         q0, qt, q1 = spec.target_idxs
         # per-step BN slot for the post-adaptation query: the reference
         # passes num_step=num_steps (:415,:425) which would index past its
@@ -411,25 +486,33 @@ class EpisodeBuilder:
         if collect_msl:
             # steps 0..n-2 come from the adaptation scan; the last step's
             # MSL term reuses this query forward (adapt skips it there)
-            q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
-                                           frames[qt], loss_ctx,
-                                           num_step=last)
+            q_loss, pred, bn_q = self._pair_loss(adapted, frames[q0],
+                                                 frames[q1], frames[qt],
+                                                 loss_ctx, num_step=last,
+                                                 bn_state=bn)
             n = spec.num_steps
             outer_loss = (jnp.sum(msl_weights[:n - 1] * step_losses)
                           + msl_weights[n - 1] * q_loss)
             q_loss = jax.lax.stop_gradient(q_loss)
         else:
-            q_loss, pred = self._pair_loss(adapted, frames[q0], frames[q1],
-                                           frames[qt], loss_ctx,
-                                           num_step=last)
+            q_loss, pred, bn_q = self._pair_loss(adapted, frames[q0],
+                                                 frames[q1], frames[qt],
+                                                 loss_ctx, num_step=last,
+                                                 bn_state=bn)
             outer_loss = q_loss
+        if self.passes_bn_state:
+            # the query forward updates stats too (the reference calls
+            # F.batch_norm(training=True) on EVERY net_forward,
+            # meta_learning_system.py:415,425)
+            bn = jax.tree.map(jax.lax.stop_gradient, bn_q)
         if not training:
             # eval: adapt with grads, query under no-grad (:414-423)
             outer_loss = jax.lax.stop_gradient(outer_loss)
             pred = jax.lax.stop_gradient(pred)
-        if spec.collect_support_preds:
-            return outer_loss, pred, q_loss, support_preds
-        return outer_loss, pred, q_loss
+        out = ((outer_loss, pred, q_loss, support_preds, query_preds)
+               if spec.collect_support_preds
+               else (outer_loss, pred, q_loss))
+        return out + ((bn,) if self.passes_bn_state else ())
 
     # -- batched -----------------------------------------------------------
     def batched_episode(self, meta_params: PyTree, frames: jnp.ndarray,
@@ -450,16 +533,26 @@ class EpisodeBuilder:
         # (vmap-of-grad, which custom_vmap cannot linearize) re-disable it.
         with L.episode_fast_conv(True):
             out = jax.vmap(one)(frames)
+        bn_state = None
+        if self.passes_bn_state:
+            out, bn_state = out[:-1], out[-1]
         if spec.collect_support_preds:
-            outer_losses, preds, q_losses, support_preds = out
+            outer_losses, preds, q_losses, support_preds, query_preds = out
         else:
             outer_losses, preds, q_losses = out
-            support_preds = None
+            support_preds = query_preds = None
         mean_loss = jnp.mean(outer_losses)
         aux: Dict[str, Any] = {"preds": preds,
                                "query_loss": jnp.mean(q_losses)}
+        if bn_state is not None:
+            # per-task final stats, stacked over the task axis (B, S, C);
+            # the system mean-merges them at train, drops them at eval
+            # (reference restore_backup_stats per task)
+            aux["bn_state"] = bn_state
         if support_preds is not None:
             aux["support_preds"] = support_preds
+        if query_preds is not None and spec.collect_query_preds:
+            aux["query_preds"] = query_preds
         if with_metrics:
             qt = spec.target_idxs[1]
             dn_pred = self.denormalize(preds)
@@ -480,12 +573,21 @@ class EpisodeBuilder:
         synthesize the midpoint of (frame1, frame2). frames: (B, 4, H, W, C).
         """
         def one(task_frames):
-            adapted, _, _ = self.adapt(
+            bn0 = (meta_params.get("bn_state") if self.passes_bn_state
+                   else None)
+            adapted, _, _, _, *bn_rest = self.adapt(
                 meta_params["net"], meta_params["lrs"], task_frames, spec,
                 attenuator=meta_params.get("attenuator"),
-                loss_ctx=meta_params.get("loss_ctx"))
+                loss_ctx=meta_params.get("loss_ctx"), bn_state=bn0)
+            kw = {}
+            if self.passes_bn_state:
+                kw = {"num_step": max(spec.num_steps - 1, 0),
+                      "bn_state": bn_rest[0]}
             out = self.apply_fn(adapted, task_frames[1][None],
-                                task_frames[2][None])
+                                task_frames[2][None], **kw)
+            if self.passes_bn_state:
+                out = out[0]  # the test path discards state (per-task
+                # restore — reference run_test_iter restores at :695)
             pred = out[0] if isinstance(out, tuple) else out
             return jax.lax.stop_gradient(pred[0])
 

@@ -238,6 +238,25 @@ class SceneAdaptiveInterpolation:
         if cfg.attenuate:
             self.builder.att_keep = self._att_keep
 
+        if cfg.per_step_bn_statistics:
+            # per-step BN running stats (reference MetaBatchNormLayer
+            # use_per_step_bn_statistics): state lives in meta_params,
+            # threaded through every episode forward; persisted at train,
+            # per-task-restored at eval (config.py flag docstring)
+            if self.model_def.bn_state_init_fn is None:
+                raise ValueError(
+                    f"--per_step_bn_statistics: model {cfg.model!r} has no "
+                    f"per-step BN support (ModelDef.bn_state_init_fn)")
+            if cfg.num_inner_steps < 1:
+                # the reference sizes the stat rows by
+                # number_of_training_steps_per_iter (model_utils.py:454)
+                raise ValueError(
+                    "--per_step_bn_statistics requires "
+                    "number_of_training_steps_per_iter >= 1")
+            self.meta_params["bn_state"] = self.model_def.bn_state_init_fn(
+                cfg.num_inner_steps)
+            self.builder.passes_bn_state = True
+
         self.tx = make_outer_optimizer(cfg)
         self.opt_state = self.tx.init(self.meta_params)
         self.scheduler = PlateauScheduler(cfg.outer_lr)
@@ -328,11 +347,17 @@ class SceneAdaptiveInterpolation:
             # (AdversarialState), never by the meta optimizer
             mask["loss_ctx"] = jax.tree.map(
                 lambda _: False, self.meta_params["loss_ctx"])
+        if "bn_state" in self.meta_params:
+            # BN running stats are buffers: updated by forwards
+            # (run_train_iter write-back), never by the optimizer
+            mask["bn_state"] = jax.tree.map(
+                lambda _: False, self.meta_params["bn_state"])
         return mask
 
     def _episode_spec(self, mode: str, num_steps: int, second_order: bool,
                       use_msl: bool,
-                      collect_support_preds: bool = False
+                      collect_support_preds: bool = False,
+                      collect_query_preds: bool = False
                       ) -> episode_lib.EpisodeSpec:
         return episode_lib.EpisodeSpec(
             support_idxs=self.cfg.support_idxs(mode),
@@ -343,6 +368,7 @@ class SceneAdaptiveInterpolation:
             attenuate=self.cfg.attenuate,
             returns_aux=self.model_def.returns_aux,
             collect_support_preds=collect_support_preds,
+            collect_query_preds=collect_query_preds,
             second_order_einsum=self.cfg.second_order_einsum)
 
     # ------------------------------------------------------------------
@@ -436,18 +462,30 @@ class SceneAdaptiveInterpolation:
         """One outer-loop update. frames: (B, T, H, W, C) numpy/jnp in model
         input space. Returns a losses dict (reference :584-606)."""
         self.current_epoch = int(epoch)
+        collect_sp = (self.adv_state is not None
+                      and self.cfg.disc_per_forward
+                      and self.cfg.num_inner_steps > 0)
         spec = self._episode_spec(
             "train", self.cfg.num_inner_steps,
             self._use_second_order(epoch), self._msl_active(epoch),
-            collect_support_preds=(self.adv_state is not None
-                                   and self.cfg.disc_per_forward
-                                   and self.cfg.num_inner_steps > 0))
+            collect_support_preds=collect_sp,
+            # while MSL is active the reference's per-step query criterion
+            # calls also update D (loss.py:168-213 via
+            # meta_learning_system.py:404-412) — collect those preds too
+            collect_query_preds=collect_sp and self._msl_active(epoch))
         msl_w = jnp.asarray(episode_lib.per_step_loss_importance(
             self.cfg.num_inner_steps, epoch, self.cfg.multi_step_loss_num_epochs))
         frames = self._shard_batch(jnp.asarray(frames))
         step = self._get_train_step(spec, do_evaluation)
         self.meta_params, self.opt_state, loss, aux = step(
             self.meta_params, self.opt_state, frames, msl_w)
+        if "bn_state" in aux:
+            # persist the per-step BN stats: per-task final states merged
+            # by mean over the task batch. (Documented deviation: the
+            # reference mutates shared state task-by-task sequentially —
+            # identical at batch_size 1.)
+            self.meta_params["bn_state"] = jax.tree.map(
+                lambda x: jnp.mean(x, axis=0), aux["bn_state"])
         if self.adv_state is not None:
             qt = self.cfg.target_idxs[1]
             upd = self.adv_state.jitted_update()
@@ -463,8 +501,13 @@ class SceneAdaptiveInterpolation:
             if "support_preds" in aux:
                 # --disc_per_forward: reference cadence — one D update per
                 # criterion call (loss.py:168-213): every (step, support
-                # pair) forward, in episode order, then the query
+                # pair) forward in episode order; while MSL is active each
+                # step's query criterion follows its support pair, and the
+                # last step's query IS the final update below
+                # (meta_learning_system.py:386-412 — support pair A, B,
+                # inner update, [MSL] per-step query, next step, ...)
                 sp = aux["support_preds"]  # (B, steps, n_pairs, H, W, C)
+                qp = aux.get("query_preds")  # (B, steps-1, H, W, C) | None
                 for s in range(sp.shape[1]):
                     for p, (_i0, it, _i1) in enumerate(
                             self.cfg.support_idxs("train")):
@@ -472,7 +515,13 @@ class SceneAdaptiveInterpolation:
                         d_params, d_opt, _ = upd(d_params, d_opt,
                                                  sp[:, s, p], frames[:, it],
                                                  r)
-            # query-pred update (the default single per-iteration update)
+                    if qp is not None and s < qp.shape[1]:
+                        rng, r = jax.random.split(rng)
+                        d_params, d_opt, _ = upd(d_params, d_opt,
+                                                 qp[:, s], frames[:, qt], r)
+            # query-pred update (the default single per-iteration update;
+            # under --disc_per_forward this is the final query criterion —
+            # the last MSL step's query when MSL is active)
             rng, r = jax.random.split(rng)
             d_params, d_opt, d_loss = upd(d_params, d_opt,
                                           aux["preds"], frames[:, qt], r)

@@ -54,7 +54,7 @@ def test_adapt_matches_hand_unrolled_loop():
     frames = make_frames()
     spec = EpisodeSpec(num_steps=2, second_order=True)
 
-    adapted, _, _ = builder.adapt(params, lrs, frames, spec)
+    adapted, _, _, _ = builder.adapt(params, lrs, frames, spec)
 
     # hand-unrolled: two SGD steps on support loss
     p = dict(params)
@@ -151,6 +151,36 @@ def test_msl_weighting_all_peel_shapes():
         np.testing.assert_allclose(float(q), ql, rtol=1e-5, err_msg=f"n={n}")
 
 
+def test_msl_query_preds_match_truncated_episodes():
+    """collect_query_preds: the collected per-step MSL query pred for step
+    s equals the query forward after s+1 inner steps — exactly what the
+    reference's per-step query criterion call sees (and feeds its D update
+    from) at meta_learning_system.py:404-412."""
+    n = 3
+    builder, opt = _builder(num_steps=n)
+    params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
+    lrs = opt.init_lrs(params, 0.05)
+    frames = make_frames()
+    spec = EpisodeSpec(num_steps=n, use_msl=True,
+                       collect_support_preds=True, collect_query_preds=True)
+    _, _, sp, qp = builder.adapt(params, lrs, frames, spec, collect_msl=True)
+    assert sp.shape[0] == n  # support preds for every step
+    assert qp.shape[0] == n - 1  # per-step query preds for steps 0..n-2
+    q0, qt, q1 = spec.target_idxs
+    for s in range(n - 1):
+        trunc = EpisodeSpec(num_steps=s + 1)
+        adapted, _, _, _ = builder.adapt(params, lrs, frames, trunc)
+        pred = tiny_apply(adapted, frames[q0][None], frames[q1][None])[0]
+        np.testing.assert_allclose(np.asarray(qp[s]), np.asarray(pred),
+                                   rtol=1e-6, err_msg=f"step {s}")
+    # without the collect flag the placeholder stays empty
+    spec_off = EpisodeSpec(num_steps=n, use_msl=True,
+                           collect_support_preds=True)
+    _, _, _, qp_off = builder.adapt(params, lrs, frames, spec_off,
+                                    collect_msl=True)
+    assert qp_off.shape == (1, 0)
+
+
 def test_batched_episode_vmaps_over_tasks():
     builder, opt = _builder(num_steps=1)
     params = {"w": jnp.asarray(0.8), "b": jnp.asarray(0.1)}
@@ -211,7 +241,7 @@ def test_inner_mask_freezes_leaves():
     lrs = opt.init_lrs(params, 0.1)
     frames = make_frames()
     spec = EpisodeSpec(num_steps=1, second_order=True)
-    adapted, _, _ = builder.adapt(params, lrs, frames, spec)
+    adapted, _, _, _ = builder.adapt(params, lrs, frames, spec)
     np.testing.assert_allclose(float(adapted["w"]), 0.8, rtol=1e-7)
     assert abs(float(adapted["b"]) - 0.1) > 1e-6
 

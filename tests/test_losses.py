@@ -212,6 +212,30 @@ def test_disc_per_forward_reference_cadence():
     # 2 steps x 2 support pairs + 1 query update
     assert len(calls) == 5, len(calls)
 
+    # MSL active: the reference's per-step query criterion calls also
+    # update D (loss.py:168-213 via meta_learning_system.py:404-412) —
+    # 3 criterion calls per step (pair A, pair B, step query; the last
+    # step's query is the final update) = 3n total
+    cfg_msl = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
+                     crop_size=32, loss="1*L1+0.01*GAN",
+                     number_of_training_steps_per_iter=2,
+                     use_multi_step_loss_optimization=True,
+                     multi_step_loss_num_epochs=5,
+                     disc_per_forward=True)
+    system_msl = SceneAdaptiveInterpolation(cfg_msl)
+    calls_msl = []
+    real_upd_msl = system_msl.adv_state.jitted_update()
+    system_msl.adv_state._jit_update = lambda *a: (calls_msl.append(1),
+                                                   real_upd_msl(*a))[1]
+    losses_msl, _ = system_msl.run_train_iter(frames, epoch=0)
+    assert np.isfinite(losses_msl["loss"])
+    assert len(calls_msl) == 6, len(calls_msl)
+    # once MSL decays out (epoch >= multi_step_loss_num_epochs) the
+    # cadence drops back to steps x pairs + 1
+    calls_msl.clear()
+    system_msl.run_train_iter(frames, epoch=5)
+    assert len(calls_msl) == 5, len(calls_msl)
+
     # default cadence: exactly one update
     cfg2 = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
                   crop_size=32, loss="1*L1+0.01*GAN",
