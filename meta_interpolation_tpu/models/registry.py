@@ -45,6 +45,12 @@ class ModelDef:
     # different HWIO transpose than Conv2d's (out,in,kh,kw) — see
     # core/checkpoint._convert_leaf). DAIN's PWC deconv/upfeat layers.
     convtranspose_pred: Optional[Callable[[Any], bool]] = None
+    # optional num_steps→bn_state fn: per-step BN running statistics for
+    # --per_step_bn_statistics (reference MetaBatchNormLayer with
+    # use_per_step_bn_statistics, model_utils.py:453-461). A model with
+    # this hook accepts apply(..., bn_state=..., num_step=...) and
+    # returns (pred, new_bn_state).
+    bn_state_init_fn: Optional[Callable[[int], Any]] = None
     # extra apply-kwargs for EVERY forward inside the meta system. DAIN's
     # flow projection fills holes exactly when the flow does not require
     # grad (DepthFlowProjectionLayer.py:42, keyed on the FLOW tensor);
@@ -149,7 +155,8 @@ def _load_all():
             register(ModelDef("voxelflow", _vf.init, _vf.apply,
                               _vf_normalize, _vf_denormalize, pad_multiple=64,
                               inner_mask_fn=_vf.inner_mask,
-                              outer_mask_fn=_vf.outer_mask))
+                              outer_mask_fn=_vf.outer_mask,
+                              bn_state_init_fn=_vf.init_bn_state))
     except ImportError as e:
         _import_warn(e)
     try:

@@ -89,37 +89,86 @@ def outer_mask(params: Params) -> Params:
     return {name: mk(name, sub) for name, sub in params.items()}
 
 
-def _cbr(p_conv, p_bn, x, k):
+BN_NAMES = ("conv1_bn", "conv2_bn", "conv3_bn", "bottleneck_bn",
+            "deconv1_bn", "deconv2_bn", "deconv3_bn")
+
+
+def init_bn_state(num_steps: int) -> Params:
+    """Per-step BN running statistics for every BN layer — the reference
+    MetaBatchNormLayer's use_per_step_bn_statistics buffers, initialized
+    zeros/ones per model_utils.py:454-457 (NOT from the checkpoint's flat
+    running stats, matching the reference layer's own init)."""
+    chans = {"conv1_bn": 64, "conv2_bn": 128, "conv3_bn": 256,
+             "bottleneck_bn": 256, "deconv1_bn": 256, "deconv2_bn": 128,
+             "deconv3_bn": 64}
+    return {name: {"running_mean": jnp.zeros((num_steps, chans[name])),
+                   "running_var": jnp.ones((num_steps, chans[name]))}
+            for name in BN_NAMES}
+
+
+def _cbr(p_conv, p_bn, x, k, bn_entry=None, num_step=0):
+    """conv → BN → ReLU. ``bn_entry`` None: the reference VoxelFlow's
+    permanently-frozen eval-mode BN (fixed affine on stored stats,
+    voxel_flow.py:283-284). Else: MetaBatchNormLayer semantics with
+    use_per_step_bn_statistics + flat adaptable affine
+    (model_utils.py:504-521 — F.batch_norm(training=True): batch-stat
+    normalization, per-step running rows updated with momentum 0.1);
+    returns the updated entry."""
     x = layers.conv2d(p_conv, x, padding=k // 2)
-    x = layers.batch_norm_apply(p_bn, x)
-    return jax.nn.relu(x)
+    if bn_entry is None:
+        return jax.nn.relu(layers.batch_norm_apply(p_bn, x)), None
+    p = {"weight": p_bn["scale"], "bias": p_bn["bias"],
+         "running_mean": bn_entry["running_mean"],
+         "running_var": bn_entry["running_var"]}
+    out, new = layers.meta_batch_norm_apply(
+        p, x, num_step=num_step,
+        adapted={"weight": p_bn["scale"], "bias": p_bn["bias"]})
+    new_entry = {"running_mean": new["running_mean"],
+                 "running_var": new["running_var"]}
+    return jax.nn.relu(out), new_entry
 
 
 def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
-          syn_type: str = "inter", warp_range=None, **_kw) -> jnp.ndarray:
+          syn_type: str = "inter", warp_range=None, bn_state=None,
+          num_step=0, **_kw):
+    """Returns the prediction; with ``bn_state`` (per-step BN mode — see
+    init_bn_state), returns ``(pred, new_bn_state)``."""
     from ..ops import warp as warp_ops
 
     x = jnp.concatenate([frame0, frame1], axis=-1)
     x, pads = layers.pad_to_multiple(x, 64)
     inp = x
 
-    conv1 = _cbr(params["conv1"], params["conv1_bn"], x, 5)
+    if bn_state is not None:
+        steps = bn_state[BN_NAMES[0]]["running_mean"].shape[0]
+        num_step = jnp.clip(num_step, 0, steps - 1)
+    new_state = {}
+
+    def cbr(name_conv, name_bn, x, k):
+        entry = None if bn_state is None else bn_state[name_bn]
+        out, new_entry = _cbr(params[name_conv], params[name_bn], x, k,
+                              bn_entry=entry, num_step=num_step)
+        if new_entry is not None:
+            new_state[name_bn] = new_entry
+        return out
+
+    conv1 = cbr("conv1", "conv1_bn", x, 5)
     x = layers.max_pool(conv1, 2)
-    conv2 = _cbr(params["conv2"], params["conv2_bn"], x, 5)
+    conv2 = cbr("conv2", "conv2_bn", x, 5)
     x = layers.max_pool(conv2, 2)
-    conv3 = _cbr(params["conv3"], params["conv3_bn"], x, 3)
+    conv3 = cbr("conv3", "conv3_bn", x, 3)
     x = layers.max_pool(conv3, 2)
-    x = _cbr(params["bottleneck"], params["bottleneck_bn"], x, 3)
+    x = cbr("bottleneck", "bottleneck_bn", x, 3)
 
     x = layers.upsample_bilinear(x, 2, align_corners=False)
-    x = _cbr(params["deconv1"], params["deconv1_bn"],
-             jnp.concatenate([x, conv3], axis=-1), 3)
+    x = cbr("deconv1", "deconv1_bn",
+            jnp.concatenate([x, conv3], axis=-1), 3)
     x = layers.upsample_bilinear(x, 2, align_corners=False)
-    x = _cbr(params["deconv2"], params["deconv2_bn"],
-             jnp.concatenate([x, conv2], axis=-1), 5)
+    x = cbr("deconv2", "deconv2_bn",
+            jnp.concatenate([x, conv2], axis=-1), 5)
     x = layers.upsample_bilinear(x, 2, align_corners=False)
-    x = _cbr(params["deconv3"], params["deconv3_bn"],
-             jnp.concatenate([x, conv1], axis=-1), 5)
+    x = cbr("deconv3", "deconv3_bn",
+            jnp.concatenate([x, conv1], axis=-1), 5)
     x = layers.conv2d(params["conv4"], x, padding=2)
     x = jnp.tanh(x)
 
@@ -142,4 +191,7 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     else:
         out = warp_ops.voxelflow_sample(inp[..., 0:3], inp[..., 3:6],
                                         flow, mask, warp_range=warp_range)
-    return layers.unpad(out, pads)
+    out = layers.unpad(out, pads)
+    if bn_state is not None:
+        return out, new_state
+    return out

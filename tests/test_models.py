@@ -116,3 +116,51 @@ def test_sepconv_forward_tiny():
     mask = sepconv_model.inner_mask(p)
     assert float(jax.tree.leaves(mask["moduleVertical1"])[0]) == 0.0
     assert float(jax.tree.leaves(mask["moduleConv1"])[0]) == 1.0
+
+
+def test_voxelflow_per_step_bn_system_end_to_end():
+    """--per_step_bn_statistics on voxelflow: train iterations persist the
+    per-step BN running stats (write-back), eval iterations leave them
+    untouched (the reference's per-task restore_backup_stats,
+    meta_learning_system.py:463-464)."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    cfg = Config(model="voxelflow", batch_size=1, val_batch_size=1,
+                 crop_size=32, loss="1*MSE", metasgd=True,
+                 number_of_training_steps_per_iter=2,
+                 number_of_evaluation_steps_per_iter=2,
+                 per_step_bn_statistics=True,
+                 enable_inner_loop_optimizable_bn_params=True)
+    system = SceneAdaptiveInterpolation(cfg)
+    assert "bn_state" in system.meta_params
+    st0 = system.meta_params["bn_state"]["conv1_bn"]["running_mean"]
+    assert st0.shape == (2, 64)
+
+    rs = np.random.RandomState(7)
+    frames = ((rs.rand(1, 7, 32, 32, 3).astype(np.float32) * 255.0
+               - 127.5) / 127.5)
+
+    before = np.asarray(st0).copy()
+    system.run_train_iter(frames, epoch=0)
+    after_train = np.asarray(
+        system.meta_params["bn_state"]["conv1_bn"]["running_mean"])
+    assert np.abs(after_train - before).max() > 1e-6, \
+        "train iteration must update the per-step BN stats"
+
+    snapshot = jax.tree.map(
+        lambda x: np.asarray(x).copy(), system.meta_params["bn_state"])
+    system.run_validation_iter(frames)
+    for a, b in zip(jax.tree.leaves(snapshot),
+                    jax.tree.leaves(system.meta_params["bn_state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_per_step_bn_requires_model_support():
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    with pytest.raises(ValueError, match="per_step_bn_statistics"):
+        SceneAdaptiveInterpolation(Config(model="cain", depth=2,
+                                          n_resblocks=1, crop_size=32,
+                                          per_step_bn_statistics=True))
