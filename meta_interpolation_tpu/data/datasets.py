@@ -333,6 +333,12 @@ class SyntheticSeptuplet(_Base):
         self.current_set_name = "train" if mode == "train" else mode
         self.data_length = {"train": length, "val": max(1, length // 8),
                             "test": max(1, length // 8)}
+        # rendered clips are deterministic in (set, index) — cache them so
+        # repeat epochs are memory reads, not re-renders (the render is
+        # ~100 ms/clip of numpy on this box's single core, which would
+        # otherwise dominate full-size training throughput). Shared across
+        # the loader's shallow per-split copies by design.
+        self._cache: Dict[Tuple[str, int], Tuple[np.ndarray, list]] = {}
 
     def _render(self, rng: np.random.RandomState) -> np.ndarray:
         h, w = self.size
@@ -360,12 +366,17 @@ class SyntheticSeptuplet(_Base):
         return np.stack(frames)
 
     def __getitem__(self, index):
+        key = (self.current_set_name, index)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit[0], {"imgpaths": list(hit[1])}
         salt = {"train": 0, "val": 10_000, "test": 20_000}[self.current_set_name]
         rng = np.random.RandomState(self.seed + salt + index)
         frames = self._render(rng)
         frames = np.stack([normalize_for_model(f, self.model) for f in frames])
-        return frames, {"imgpaths": [f"synthetic://{index}/{t}"
-                                     for t in range(self.num_frames)]}
+        paths = [f"synthetic://{index}/{t}" for t in range(self.num_frames)]
+        self._cache[key] = (frames, paths)
+        return frames, {"imgpaths": list(paths)}
 
 
 def get_dataset(name: str, data_root: str, model: str, mode: str,
