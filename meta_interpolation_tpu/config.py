@@ -79,6 +79,10 @@ class Config:
     eval_iter: int = 10
     data_dir: str = "data"
     random_seed: int = 12345
+    # decorative, as in the reference (config.py:72 — only toggles
+    # args.cuda there; no multi-GPU path exists, SURVEY.md §2.5). Device
+    # count here comes from the visible TPU mesh / --mesh_shape.
+    num_gpu: int = 1
     num_workers: int = 5
     use_tensorboard: bool = False
     viz: bool = False

@@ -1,0 +1,55 @@
+"""CLI flag-surface parity with the reference (/root/reference/config.py).
+
+Every flag the reference's argparse registers (config.py:14-77) must be
+accepted by our parser — a user switching from the reference must be able
+to reuse their command lines (including the scripts/run_*.sh presets)
+verbatim. Bool flags are store_true in both.
+"""
+from meta_interpolation_tpu.config import Config, get_args
+
+# the reference's full registered flag list, config.py:14-77, in order
+REFERENCE_FLAGS = {
+    # Dataset
+    "dataset": "vimeo90k", "num_frames": "3",
+    "data_root": "x", "img_fmt": "png", "fps": "30",
+    # Model
+    "model": "cain", "depth": "3", "n_resblocks": "12", "up_mode": "shuffle",
+    # Learning
+    "mode": "train", "loss": "1*L1", "optimizer": "Adam",
+    "inner_lr": "1e-5", "outer_lr": "1e-4", "beta1": "0.9", "beta2": "0.99",
+    "weight_decay": "1e-4", "batch_size": "4", "val_batch_size": "1",
+    "test_batch_size": "1", "test_mode": "hard", "start_epoch": "0",
+    "max_epoch": "60", "resume": None, "resume_exp": "e",
+    "pretrained_model": "p.pth", "fix_loaded": None,
+    "number_of_training_steps_per_iter": "1",
+    "number_of_evaluation_steps_per_iter": "1",
+    "learnable_per_layer_per_step_inner_loop_learning_rate": None,
+    "enable_inner_loop_optimizable_bn_params": None,
+    "second_order": None, "first_order_to_second_order_epoch": "-1",
+    "use_multi_step_loss_optimization": None,
+    "multi_step_loss_num_epochs": "1", "total_iter_per_epoch": "10",
+    "attenuate": None, "metasgd": None,
+    # Misc
+    "exp_name": "e", "log_iter": "20", "log_dir": "logs", "eval_iter": "10",
+    "data_dir": "data", "num_gpu": "1", "random_seed": "0",
+    "num_workers": "5", "use_tensorboard": None, "viz": None, "lpips": None,
+}
+
+
+def test_every_reference_flag_parses():
+    argv = []
+    for name, val in REFERENCE_FLAGS.items():
+        argv.append(f"--{name}")
+        if val is not None:
+            argv.append(val)
+    cfg = get_args(argv)
+    # spot-check typed round-trips
+    assert cfg.model == "cain" and cfg.batch_size == 4
+    assert cfg.inner_lr == 1e-5 and cfg.second_order and cfg.metasgd
+    assert cfg.num_gpu == 1  # decorative, as in the reference
+
+
+def test_reference_flags_are_config_fields():
+    fields = {f.name for f in Config.__dataclass_fields__.values()}
+    missing = set(REFERENCE_FLAGS) - fields
+    assert not missing, f"reference flags without Config fields: {missing}"
