@@ -9,7 +9,15 @@ makes cross-mode PSNR meaningless.
 Drives the system's public run_train_iter directly (run_cain.sh preset
 shapes) instead of the CLI epoch loop because the CLI checkpoints every
 epoch — a ~1 GB state pickle whose device->host fetch through the axon
-tunnel costs minutes per 16-iteration synthetic epoch. Checkpoints land in
+tunnel costs minutes per 16-iteration synthetic epoch.
+
+DEVICE-RESIDENT DATA (required on this box): the experimental axon PJRT
+plugin leaks the full transfer size in host RSS on EVERY host->device
+transfer (measured: 21 MB/iter for a 22 MB batch -> ~95 GB over 4500
+iterations -> host OOM kill; /tmp/axon_leak.py probe, round 3). The
+synthetic train split is only 64 deterministic clips, so they are rendered
+once, put on device as a clip bank, and batches are gathered on-device by
+index — the per-iteration transfer is 4 int32s. Checkpoints land in
 checkpoint/serving_ckpt/ every 50 epochs and at the end, loadable by
 ``--resume --resume_exp serving_ckpt`` or scripts/serving_quality.py.
 
@@ -25,9 +33,13 @@ from meta_interpolation_tpu.core.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
 from meta_interpolation_tpu.config import Config  # noqa: E402
 from meta_interpolation_tpu.core import checkpoint as ckpt_lib  # noqa: E402
-from meta_interpolation_tpu.data import MetaLearningSystemDataLoader  # noqa: E402
+from meta_interpolation_tpu.data.datasets import SyntheticSeptuplet  # noqa: E402
 from meta_interpolation_tpu.meta.system import (  # noqa: E402
     SceneAdaptiveInterpolation)
 
@@ -40,8 +52,18 @@ def main():
                  inner_lr=1e-5, outer_lr=1e-4, dtype="bfloat16",
                  exp_name="serving_ckpt")
     system = SceneAdaptiveInterpolation(cfg)
-    data = MetaLearningSystemDataLoader(cfg)
     out_dir = os.path.join(cfg.checkpoint_dir, cfg.exp_name)
+
+    # one-time render + device upload of the whole synthetic train split
+    ds = SyntheticSeptuplet(model="cain", mode="train",
+                            size=(cfg.crop_size, cfg.crop_size))
+    n_clips = ds.data_length["train"]
+    bank = jax.device_put(jnp.asarray(np.stack(
+        [ds[i][0] for i in range(n_clips)]), jnp.float32))
+    print(f"clip bank on device: {bank.shape} "
+          f"({bank.nbytes / 1e6:.0f} MB)", flush=True)
+    iters_per_epoch = n_clips // cfg.batch_size
+    rng = np.random.RandomState(cfg.random_seed)
 
     def save(epoch):
         ckpt_lib.save_checkpoint(
@@ -51,8 +73,11 @@ def main():
 
     t0 = time.time()
     for epoch in range(epochs):
-        for it, (frames, _meta) in enumerate(
-                data.get_train_batches(epoch=epoch)):
+        order = rng.permutation(n_clips)
+        for it in range(iters_per_epoch):
+            idx = jnp.asarray(order[it * cfg.batch_size:
+                                    (it + 1) * cfg.batch_size])
+            frames = bank[idx]  # on-device gather — no host transfer
             do_eval = (it == 0 and epoch % 10 == 0)
             losses, _ = system.run_train_iter(frames, epoch,
                                               do_evaluation=do_eval)
@@ -63,9 +88,13 @@ def main():
         if epoch % 50 == 49 or epoch == epochs - 1:
             save(epoch)
 
-    # final val on the synthetic val split (reference val protocol)
+    # final val on the synthetic val split (reference val protocol),
+    # likewise device-resident
+    ds_val = SyntheticSeptuplet(model="cain", mode="val",
+                                size=(cfg.crop_size, cfg.crop_size))
     psnrs = []
-    for frames, _meta in data.get_val_batches():
+    for i in range(ds_val.data_length["val"]):
+        frames = jax.device_put(jnp.asarray(ds_val[i][0][None]))
         losses, _ = system.run_validation_iter(frames)
         psnrs.append(losses["psnr"])
     print(f"[final val] PSNR {sum(psnrs) / len(psnrs):.3f} over "
