@@ -109,6 +109,13 @@ class Config:
     # Changes conv boundary context vs the reference — validate PSNR on
     # your checkpoint before serving with it.
     pad_multiple: int = 128
+    # CAIN body-conv reflect-pad handling: "false" = reference-exact
+    # materialized reflect pads; "reflect" = same math restructured as a
+    # zero-SAME conv + analytic border corrections (no extra HBM traffic,
+    # fp-reassociated only — layers.conv2d_reflect3x3); "true" = serving
+    # approximation, plain zero SAME padding (boundary context changes —
+    # validate on a trained checkpoint, see models/cain._conv_norm).
+    fuse_pad: str = "false"
     # GAN discriminator update cadence. Default (False): one update per
     # outer iteration on the query preds. True: reference cadence — the
     # reference updates D inside EVERY criterion call (loss.py:168-213 —
@@ -123,6 +130,19 @@ class Config:
     # test). Opt-in: at full CAIN size the tap-slice residuals fragment
     # HBM (measured OOM at bs4 crop 256); viable at smaller crops/batches.
     second_order_einsum: bool = False
+
+    @property
+    def fuse_pad_mode(self):
+        """--fuse_pad as the cain.apply kwarg: False | True | 'reflect'."""
+        v = str(self.fuse_pad).lower()
+        if v in ("false", "0", "no"):
+            return False
+        if v in ("true", "1", "yes"):
+            return True
+        if v == "reflect":
+            return "reflect"
+        raise ValueError(f"--fuse_pad must be true/false/reflect, got "
+                         f"{self.fuse_pad!r}")
 
     @property
     def num_inner_steps(self) -> int:

@@ -134,7 +134,8 @@ class SceneAdaptiveInterpolation:
         if cfg.model == "cain":
             self.model_kwargs = {"depth": cfg.depth,
                                  "n_resblocks": cfg.n_resblocks,
-                                 "pad_multiple": cfg.pad_multiple}
+                                 "pad_multiple": cfg.pad_multiple,
+                                 "fuse_pad": cfg.fuse_pad_mode}
         if cfg.model in ("rrin", "superslomo", "voxelflow") and \
                 cfg.fast_warp_range > 0:
             self.model_kwargs["warp_range"] = cfg.fast_warp_range

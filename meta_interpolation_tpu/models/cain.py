@@ -90,21 +90,29 @@ def init(rng: jax.Array, depth: int = 3, n_resgroups: int = 5,
     return {"encoder": {"interpolate": interpolate}}
 
 
-def _conv_norm(p: Params, x, k: int = 3, fuse_pad: bool = False):
+def _conv_norm(p: Params, x, k: int = 3, fuse_pad=False):
     """Reflect-pad conv (reference MetaConvNorm, model_utils.py:821-848).
 
-    ``fuse_pad``: serving-mode option — zero `SAME` padding fused into the
-    conv instead of the reference's reflect pad (each reflect pad is an
-    extra HBM round-trip XLA cannot fuse into the conv; the body has 122
-    of them). The conv boundary context changes (same deviation class as
-    ``pad_multiple=8``) — and because the CA layers pool globally, the
-    border difference couples into EVERY pixel, so serving-vs-exact
-    deviation is small-but-global on trained weights and unbounded on
-    random init (measured: random-init serving-vs-exact PSNR ≈ 9 dB —
-    meaningless as a quality signal). Always validate serving-mode PSNR
-    on the trained checkpoint.
+    ``fuse_pad``: each materialized reflect pad is an extra HBM round-trip
+    XLA cannot fuse into the conv; the body has 122 of them. Two ways to
+    avoid that traffic:
+
+    - ``"reflect"``: SAME-math fast path — zero-``SAME`` conv (pad fused
+      into XLA's conv) + analytic border corrections
+      (layers.conv2d_reflect3x3). Identical to the reference's reflect
+      pad up to fp summation order; safe wherever the padded form is.
+    - ``True``: serving-mode approximation — plain zero ``SAME`` padding.
+      The conv boundary context changes (same deviation class as
+      ``pad_multiple=8``) — and because the CA layers pool globally, the
+      border difference couples into EVERY pixel, so serving-vs-exact
+      deviation is small-but-global on trained weights and unbounded on
+      random init (measured: random-init serving-vs-exact PSNR ≈ 9 dB —
+      meaningless as a quality signal). Always validate serving-mode
+      PSNR on the trained checkpoint.
     """
-    if fuse_pad:
+    if fuse_pad == "reflect" and k == 3:
+        return layers.conv2d_reflect3x3(p["conv"], x)
+    if fuse_pad is True:
         return layers.conv2d(p["conv"], x, padding=k // 2)
     x = layers.reflect_pad(x, k // 2)
     return layers.conv2d(p["conv"], x, padding="VALID")

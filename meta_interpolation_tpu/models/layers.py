@@ -292,6 +292,72 @@ def reflect_pad(x: jnp.ndarray, pad) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="reflect")
 
 
+def conv2d_reflect3x3(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """3×3 stride-1 conv with 1-px reflect padding, WITHOUT materializing
+    the padded tensor.
+
+    ``conv(reflect_pad(x))`` costs a full extra HBM round trip per call on
+    TPU (XLA lowers the reflect pad to rev+concat it cannot fuse into the
+    conv; CAIN's body has 122 of them — measured +5.5 ms per batch-16 step
+    at 448×256, BASELINE.md ablations). Same math, restructured: a zero-
+    ``SAME`` conv (padding fused into XLA's conv, free) plus analytic
+    border corrections — for the 1-px reflect halo, the missing
+    contribution to output row 0 is exactly ``Σ_dx x[1, j+dx]·k[0, dx]``
+    (row -1 reflects to row 1), a (N,W,3C)@(3C,O) matmul; same for the
+    bottom row / left / right columns, with the four corner terms
+    (counted by both a row and a column fix) subtracted once. ~2 % extra
+    FLOPs, zero extra full-tensor traffic. Identical math to
+    ``conv2d(p, reflect_pad(x,1), padding='VALID')`` up to fp summation
+    order (pinned by test at f32 tolerance).
+    """
+    k = p["kernel"].astype(x.dtype)  # (3, 3, C, O)
+    assert k.shape[0] == 3 and k.shape[1] == 3, "3x3 kernels only"
+    n, h, w, c = x.shape
+    o = k.shape[3]
+    # route through conv2d (bias added at the end, after the corrections)
+    # so the episode's batched-weight fast-conv path still applies
+    out = conv2d({"kernel": k}, x, padding=((1, 1), (1, 1)))
+
+    def line_fix(line, k3, length):
+        # line (N, L, C), k3 (3, C, O): Σ_dx line_pad[i+dx-1] @ k3[dx]
+        # with 1-px reflect padding of the line itself (covers the
+        # corner-of-the-halo reflect-both positions).
+        lp = jnp.concatenate(
+            [line[:, 1:2], line, line[:, length - 2:length - 1]], axis=1)
+        stacked = jnp.concatenate(
+            [lp[:, 0:length], lp[:, 1:length + 1], lp[:, 2:length + 2]],
+            axis=-1)  # (N, L, 3C), dx-major blocks matching k3.reshape
+        return stacked @ k3.reshape(3 * c, o)
+
+    def corner(py, px, ky, kx):
+        return x[:, py, px, :] @ k[ky, kx]
+
+    top = line_fix(x[:, 1], k[0], w)
+    top = top.at[:, 0].add(-corner(1, 1, 0, 0))
+    top = top.at[:, w - 1].add(-corner(1, w - 2, 0, 2))
+    bot = line_fix(x[:, h - 2], k[2], w)
+    bot = bot.at[:, 0].add(-corner(h - 2, 1, 2, 0))
+    bot = bot.at[:, w - 1].add(-corner(h - 2, w - 2, 2, 2))
+    left = line_fix(x[:, :, 1], k[:, 0], h)
+    right = line_fix(x[:, :, w - 2], k[:, 2], h)
+
+    # combine as ONE fusable elementwise mask-add — row/col .at[] updates
+    # lower to dynamic-update-slices XLA copies the whole tensor for
+    # (measured 4 extra full round trips per conv, slower than the pad
+    # this kernel removes); the masked form is a single fused HBM pass
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    zero = jnp.zeros((), out.dtype)
+    corr = (jnp.where(ii == 0, top[:, None], zero)
+            + jnp.where(ii == h - 1, bot[:, None], zero)
+            + jnp.where(jj == 0, left[:, :, None], zero)
+            + jnp.where(jj == w - 1, right[:, :, None], zero))
+    out = out + corr
+    if "bias" in p:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
 def replicate_pad(x: jnp.ndarray, pad) -> jnp.ndarray:
     if isinstance(pad, int):
         l = r = t = b = pad

@@ -1,21 +1,23 @@
 """Serving-vs-exact quality on TRAINED CAIN weights (VERDICT r2 item 2).
 
-The serving path (pad_multiple=8 + packed scan weights + fuse_pad,
-bench.py --serving, 1015 fps) changes conv boundary context vs the
-reference's pad-to-x128 reflect (model_utils.py:17-28). With RANDOM-INIT
-weights the cross-mode PSNR is ~9 dB and meaningless — the CA layers'
-global pooling couples changed borders into every pixel (BASELINE.md
-"serving roofline, round 2"). This script quantifies the deviation where
-it matters: on a checkpoint trained to convergence
-(scripts/train_serving_ckpt.py), at the 448x256 headline shape, in the
-bf16 serving configuration.
+The serving path (pad_multiple=8 + fuse_pad, bench.py --serving, 1015 fps)
+changes conv boundary context vs the reference's pad-to-x128 reflect
+(model_utils.py:17-28). With RANDOM-INIT weights the cross-mode PSNR is
+~9 dB and meaningless — the CA layers' global pooling couples changed
+borders into every pixel (BASELINE.md "serving roofline, round 2"). This
+script quantifies the deviation where it matters: on a meta-trained
+checkpoint (scripts/train_serving_ckpt.py), at the 448x256 headline
+shape, under the REFERENCE EVAL PROTOCOL — one inner-loop adaptation on
+the support pairs, then the query forward (the meta-init alone is a MAML
+launch pad, not a working model: its un-adapted PSNR is ~6 dB by design).
 
-Reports, over the synthetic val scenes:
-  PSNR(exact pred, gt), PSNR(serving pred, gt)  — quality in each mode
-  PSNR(serving pred, exact pred)                — direct mode deviation
+Per mode (exact pad-128 reflect | serving pad-8 zero-fuse | exact-math
+pad-128 border-corrected "reflect"), reports adapted-query PSNR vs GT
+over synthetic val scenes, plus the serving-vs-exact prediction PSNR.
 
 Usage: python scripts/serving_quality.py [n_clips]
 """
+import dataclasses
 import os
 import sys
 
@@ -29,10 +31,24 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from meta_interpolation_tpu.config import Config  # noqa: E402
 from meta_interpolation_tpu.core import checkpoint as ckpt_lib  # noqa: E402
 from meta_interpolation_tpu.core import metrics as metrics_lib  # noqa: E402
 from meta_interpolation_tpu.data.datasets import SyntheticSeptuplet  # noqa: E402
-from meta_interpolation_tpu.models import cain  # noqa: E402
+from meta_interpolation_tpu.meta.system import (  # noqa: E402
+    SceneAdaptiveInterpolation)
+
+MODES = {
+    "exact (pad128 reflect)": dict(pad_multiple=128, fuse_pad="false"),
+    "serving (pad8 zero-fuse)": dict(pad_multiple=8, fuse_pad="true"),
+    "exact-math (pad128 border-corr)": dict(pad_multiple=128,
+                                            fuse_pad="reflect"),
+    # middle serving point: only the pad_multiple deviates (body convs
+    # keep exact reflect math via the border-corrected form) — 782 fps
+    # vs zero-fuse's 1015 (scripts/reflect_micro.py)
+    "serving-exactmath (pad8 reflect)": dict(pad_multiple=8,
+                                             fuse_pad="reflect"),
+}
 
 
 def main():
@@ -41,41 +57,54 @@ def main():
     if state is None:
         raise SystemExit("no checkpoint/serving_ckpt/checkpoint.pkl — run "
                          "scripts/train_serving_ckpt.py first")
-    net = state["system"]["meta_params"]["net"]
+    # checkpoint save maps every leaf through np.asarray, which wraps the
+    # arch dict's strings/scalars in 0-d arrays — unwrap them
+    def unwrap(v):
+        if isinstance(v, np.ndarray):
+            return v.item() if v.ndim == 0 else tuple(v.tolist())
+        if isinstance(v, (tuple, list)):
+            return tuple(unwrap(e) for e in v)
+        return v
+
+    arch = {k: unwrap(v) for k, v in state["arch"].items()}
     epoch = state.get("epoch", "?")
-    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), net)
-    packed = cain.pack(params)
-
-    @jax.jit
-    def exact(p, f0, f1):
-        return cain.apply(p, f0, f1, pad_multiple=128)
-
-    @jax.jit
-    def serving(p, f0, f1):
-        return cain.apply(p, f0, f1, pad_multiple=8, packed_body=packed,
-                          fuse_pad=True)
 
     ds = SyntheticSeptuplet(model="cain", mode="val", size=(256, 448),
                             length=8 * n_clips)
-    stats = {"exact_gt": [], "serving_gt": [], "serving_exact": []}
-    for i in range(n_clips):
-        frames, _ = ds[i]
-        f0 = jnp.asarray(frames[2][None], jnp.bfloat16)
-        f1 = jnp.asarray(frames[4][None], jnp.bfloat16)
-        gt = jnp.asarray(frames[3][None], jnp.float32)
-        pe = jnp.asarray(exact(params, f0, f1), jnp.float32)
-        ps = jnp.asarray(serving(params, f0, f1), jnp.float32)
-        stats["exact_gt"].append(float(metrics_lib.calc_metrics(pe, gt)[0]))
-        stats["serving_gt"].append(float(metrics_lib.calc_metrics(ps, gt)[0]))
-        stats["serving_exact"].append(
-            float(metrics_lib.calc_metrics(ps, pe)[0]))
+    clips = [ds[i] for i in range(n_clips)]
 
-    print(f"checkpoint epoch {epoch}, {n_clips} val clips @448x256 bf16")
-    for k, v in stats.items():
-        print(f"  PSNR {k:14s}: mean {np.mean(v):7.3f}  min {np.min(v):7.3f}"
-              f"  max {np.max(v):7.3f}")
+    preds = {}
+    psnr_gt = {}
+    for label, over in MODES.items():
+        cfg = Config(**{**{k: v for k, v in arch.items()
+                           if k in Config.__dataclass_fields__}, **over})
+        system = SceneAdaptiveInterpolation(cfg)
+        system.load_state_dict(state["system"])
+        ps, outs = [], []
+        for frames, _ in clips:
+            losses, pred = system.run_validation_iter(frames[None])
+            ps.append(losses["psnr"])
+            outs.append(np.asarray(pred, np.float32))
+        preds[label] = outs
+        psnr_gt[label] = ps
+        print(f"{label:32s}: adapted-query PSNR mean {np.mean(ps):7.3f} "
+              f"min {np.min(ps):7.3f} max {np.max(ps):7.3f}", flush=True)
+
+    exact, serving = list(MODES)[0], list(MODES)[1]
+    cross = [float(metrics_lib.calc_metrics(
+        jnp.asarray(a), jnp.asarray(b))[0])
+        for a, b in zip(preds[serving], preds[exact])]
+    print(f"\ncheckpoint epoch {epoch}, {n_clips} val clips @448x256, "
+          f"dtype {arch.get('dtype')}")
+    print(f"  PSNR(serving pred, exact pred): mean {np.mean(cross):.3f}")
     print(f"  serving-vs-exact quality delta: "
-          f"{np.mean(stats['exact_gt']) - np.mean(stats['serving_gt']):+.4f} dB")
+          f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[serving]):+.4f} dB")
+    refl = list(MODES)[2]
+    print(f"  border-corrected-vs-exact delta (same math): "
+          f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[refl]):+.4f} dB")
+    mid = list(MODES)[3]
+    print(f"  pad8-only (exact-math body) delta: "
+          f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[mid]):+.4f} dB")
 
 
 if __name__ == "__main__":

@@ -136,3 +136,35 @@ def test_cain_fuse_pad_serving_mode():
     assert fused.shape == base.shape
     assert np.all(np.isfinite(np.asarray(fused)))
     assert float(jnp.max(jnp.abs(fused - base))) > 0  # deviation is real
+
+
+def test_conv2d_reflect3x3_matches_padded_conv():
+    """The border-corrected zero-SAME formulation (layers.conv2d_reflect3x3)
+    must equal conv(reflect_pad(x)) to fp-reassociation tolerance, on
+    general shapes and the degenerate 2x2 frame."""
+    from meta_interpolation_tpu.models import layers
+
+    rng = np.random.RandomState(0)
+    for (h, w, c, o) in [(8, 12, 5, 7), (2, 2, 3, 3), (9, 3, 4, 2)]:
+        x = jnp.asarray(rng.randn(2, h, w, c), jnp.float32)
+        p = {"kernel": jnp.asarray(rng.randn(3, 3, c, o), jnp.float32),
+             "bias": jnp.asarray(rng.randn(o), jnp.float32)}
+        ref = layers.conv2d(p, layers.reflect_pad(x, 1), padding="VALID")
+        got = layers.conv2d_reflect3x3(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_cain_fuse_pad_reflect_is_exact():
+    """fuse_pad='reflect' (zero-SAME conv + analytic border corrections)
+    is the SAME math as the reference reflect pad — full-model output
+    equal to fp tolerance, unlike fuse_pad=True's zero-pad deviation."""
+    mk = dict(depth=2, n_resgroups=2, n_resblocks=2)
+    p = cain.init(jax.random.PRNGKey(7), **mk)
+    rs = np.random.RandomState(3)
+    f0 = jnp.asarray(rs.rand(1, 64, 48, 3), jnp.float32)
+    f1 = jnp.asarray(rs.rand(1, 64, 48, 3), jnp.float32)
+    base = cain.apply(p, f0, f1, pad_multiple=4, **mk)
+    fast = cain.apply(p, f0, f1, pad_multiple=4, fuse_pad="reflect", **mk)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
