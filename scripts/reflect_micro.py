@@ -59,6 +59,8 @@ def main():
         ("exact border-corrected", 16, 128, "reflect"),
         ("serving zero-pad (r2 headline)", 128, 8, True),
         ("serving border-corrected", 128, 8, "reflect"),
+        ("serving materialized reflect", 128, 8, False),
+        ("serving materialized reflect B16", 16, 8, False),
     ]:
         f0 = jnp.asarray(rs.rand(batch, 256, 448, 3), jnp.bfloat16)
         f1 = jnp.asarray(rs.rand(batch, 256, 448, 3), jnp.bfloat16)
