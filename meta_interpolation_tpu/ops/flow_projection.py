@@ -145,7 +145,47 @@ def _fill_holes_no_grad(out: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
     return out + jax.lax.stop_gradient(_fill_holes(out, cnt) - out)
 
 
+# default fill implementation (measured choice — scripts/fill_micro.py)
 def _fill_holes(out: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    return _fill_holes_scan(out, cnt)
+
+
+def _propagate_last_valid(vals, valid, axis, reverse):
+    """Value of the nearest valid element at-or-before each position along
+    ``axis`` (after ``reverse``: at-or-after), plus whether one exists —
+    one associative_scan carrying (value, valid), no gathers."""
+    def op(a, b):
+        av, am = a
+        bv, bm = b
+        return (jnp.where(bm, bv, av), am | bm)
+
+    return jax.lax.associative_scan(op, (vals, valid), axis=axis,
+                                    reverse=reverse)
+
+
+def _fill_holes_scan(out: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """Directional nearest-valid averaging via four value-propagating
+    associative scans. Bit-identical to ``_fill_holes_gather`` (pinned by
+    test) without its four full-image gathers — the gathers cost per-ROW
+    on TPU and dominated the fill at DAIN shapes (scripts/fill_micro.py)."""
+    valid = (cnt > 0)[..., None]
+    vb = jnp.broadcast_to(valid, out.shape)
+    v_l, m_l = _propagate_last_valid(out, vb, 2, False)
+    v_r, m_r = _propagate_last_valid(out, vb, 2, True)
+    v_u, m_u = _propagate_last_valid(out, vb, 1, False)
+    v_d, m_d = _propagate_last_valid(out, vb, 1, True)
+    ml = m_l.astype(out.dtype)
+    mr = m_r.astype(out.dtype)
+    mu = m_u.astype(out.dtype)
+    md = m_d.astype(out.dtype)
+    total = ml + mr + mu + md
+    filled = (v_l * ml + v_r * mr + v_u * mu + v_d * md) / jnp.maximum(
+        total, 1.0)
+    hole = (~valid) & (total > 0)
+    return jnp.where(hole, filled, out)
+
+
+def _fill_holes_gather(out: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
     """Directional nearest-valid averaging (FlowFillhole_kernelfunc)."""
     n, h, w, _ = out.shape
     valid = cnt > 0

@@ -208,3 +208,22 @@ def test_flow_projection_proj_range_cpu_fallthrough():
     a = flow_projection(flow, proj_range=8)
     b = flow_projection(flow)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fill_holes_scan_matches_gather():
+    """The associative-scan hole fill (no gathers) must be bit-identical
+    to the index-gather form on random hole patterns, including all-hole
+    rows/columns and fully-valid frames."""
+    import numpy as np
+    import jax.numpy as jnp
+    from meta_interpolation_tpu.ops import flow_projection as fp
+
+    rng = np.random.RandomState(0)
+    for density in (0.0, 0.3, 0.97, 1.0):
+        cnt = ((rng.rand(2, 13, 17) < density)
+               * (1 + rng.rand(2, 13, 17))).astype(np.float32)
+        out = np.where(cnt[..., None] > 0,
+                       rng.randn(2, 13, 17, 2), 0.0).astype(np.float32)
+        a = fp._fill_holes_gather(jnp.asarray(out), jnp.asarray(cnt))
+        b = fp._fill_holes_scan(jnp.asarray(out), jnp.asarray(cnt))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
