@@ -246,7 +246,11 @@ def main(argv=None):
             # warp inside the full jitted model (BASELINE.md anomaly note)
             kw = {"warp_range": 8} if name in ("rrin", "superslomo") else {}
             if name == "dain":
-                kw = {"proj_range": 8}
+                # fill_holes=True: the reference protocol — under its meta
+                # system every flow-producing subnet is frozen, so hole
+                # filling is ON for every forward (PARITY.md DAIN row);
+                # the scan-form fill is ~free (scripts/fill_micro.py)
+                kw = {"proj_range": 8, "fill_holes": True}
             if name in ("sepconv", "dain"):
                 # full-frame graphs exceed memory at 1080p (reference
                 # included) — use the reference's tiling protocol, with
@@ -314,7 +318,8 @@ def main(argv=None):
         kw = {"warp_range": 8} if name in ("rrin", "superslomo",
                                            "voxelflow") else {}
         if name == "dain":
-            kw = {"proj_range": 8}
+            # fill_holes=True — reference protocol (see --hd note above)
+            kw = {"proj_range": 8, "fill_holes": True}
         # measured per-model batch sweet spots @448x256 (r2 sweep:
         # rrin B4 106 -> B8 156 fps; superslomo B4 76 -> B16 98.5;
         # voxelflow B8 229 vs B16 194; dain B1 93.5 ms/frame vs B4
