@@ -1,0 +1,104 @@
+"""Meta-train a model on the synthetic dataset to a usable checkpoint.
+
+Generalizes scripts/train_serving_ckpt.py (the CAIN serving-quality
+checkpoint) to any registered backbone, so opt-in fast paths can be
+quality-validated on TRAINED weights rather than random init — e.g. the
+bounded pallas warp (--fast_warp_range 8) for VoxelFlow/RRIN/SuperSloMo
+via scripts/warp_quality.py.
+
+Device-resident clip bank (axon transfer-leak workaround — CLAUDE.md):
+the synthetic split is rendered once and batches are gathered on-device.
+
+Usage: python scripts/train_synth_ckpt.py [model] [epochs]
+Checkpoints land in checkpoint/<model>_synth_ckpt/ (cain keeps the
+round-3 name serving_ckpt).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from meta_interpolation_tpu.core.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from meta_interpolation_tpu.config import Config  # noqa: E402
+from meta_interpolation_tpu.core import checkpoint as ckpt_lib  # noqa: E402
+from meta_interpolation_tpu.data.datasets import SyntheticSeptuplet  # noqa: E402
+from meta_interpolation_tpu.meta.system import (  # noqa: E402
+    SceneAdaptiveInterpolation)
+
+# per-model training presets: the run_*.sh hyperparameters, with the
+# outer LR raised to 1e-4 (the synthetic set is tiny; the presets'
+# 1e-5 is tuned for 5000-iteration Vimeo epochs)
+PRESETS = {
+    "cain": dict(batch_size=4, loss="1*L1", exp_name="serving_ckpt"),
+    "voxelflow": dict(batch_size=8, loss="1*MSE",
+                      exp_name="voxelflow_synth_ckpt"),
+    "rrin": dict(batch_size=4, loss="1*L1", exp_name="rrin_synth_ckpt"),
+    "superslomo": dict(batch_size=4, loss="1*Super",
+                       exp_name="superslomo_synth_ckpt"),
+}
+
+
+def main():
+    model = sys.argv[1] if len(sys.argv) > 1 else "cain"
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    preset = PRESETS[model]
+    cfg = Config(model=model, dataset="synthetic", mode="train",
+                 val_batch_size=1, crop_size=256, metasgd=True,
+                 optimizer="Adam", inner_lr=1e-5, outer_lr=1e-4,
+                 dtype="bfloat16", **preset)
+    system = SceneAdaptiveInterpolation(cfg)
+    out_dir = os.path.join(cfg.checkpoint_dir, cfg.exp_name)
+
+    ds = SyntheticSeptuplet(model=model, mode="train",
+                            size=(cfg.crop_size, cfg.crop_size))
+    n_clips = ds.data_length["train"]
+    bank = jax.device_put(jnp.asarray(np.stack(
+        [ds[i][0] for i in range(n_clips)]), jnp.float32))
+    print(f"{model}: clip bank on device {bank.shape} "
+          f"({bank.nbytes / 1e6:.0f} MB)", flush=True)
+    iters_per_epoch = n_clips // cfg.batch_size
+    rng = np.random.RandomState(cfg.random_seed)
+
+    def save(epoch):
+        ckpt_lib.save_checkpoint(
+            {"epoch": epoch + 1, "arch": vars(cfg),
+             "system": system.state_dict(), "best_PSNR": 0.0}, out_dir)
+        print(f"[ckpt] saved at epoch {epoch}", flush=True)
+
+    t0 = time.time()
+    for epoch in range(epochs):
+        order = rng.permutation(n_clips)
+        for it in range(iters_per_epoch):
+            idx = jnp.asarray(order[it * cfg.batch_size:
+                                    (it + 1) * cfg.batch_size])
+            do_eval = (it == 0 and epoch % 10 == 0)
+            losses, _ = system.run_train_iter(bank[idx], epoch,
+                                              do_evaluation=do_eval)
+            if do_eval:
+                print(f"[epoch {epoch}] loss {losses['loss']:.4f} "
+                      f"psnr {losses.get('psnr', 0.0):.2f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        if epoch % 50 == 49 or epoch == epochs - 1:
+            save(epoch)
+
+    ds_val = SyntheticSeptuplet(model=model, mode="val",
+                                size=(cfg.crop_size, cfg.crop_size))
+    psnrs = []
+    for i in range(ds_val.data_length["val"]):
+        frames = jax.device_put(jnp.asarray(ds_val[i][0][None]))
+        losses, _ = system.run_validation_iter(frames)
+        psnrs.append(losses["psnr"])
+    print(f"[final val] PSNR {sum(psnrs) / len(psnrs):.3f} over "
+          f"{len(psnrs)} clips", flush=True)
+
+
+if __name__ == "__main__":
+    main()
