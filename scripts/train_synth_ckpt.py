@@ -41,7 +41,10 @@ PRESETS = {
     "voxelflow": dict(batch_size=8, loss="1*MSE",
                       exp_name="voxelflow_synth_ckpt"),
     "rrin": dict(batch_size=4, loss="1*L1", exp_name="rrin_synth_ckpt"),
-    "superslomo": dict(batch_size=4, loss="1*Super",
+    # L1, not the reference's Super loss: offline (zero egress) the
+    # perceptual term would run on a random-init VGG16 — pure noise.
+    # L1 still trains the flow computer through the warp synthesis.
+    "superslomo": dict(batch_size=4, loss="1*L1",
                        exp_name="superslomo_synth_ckpt"),
 }
 
