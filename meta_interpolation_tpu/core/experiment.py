@@ -187,7 +187,15 @@ class ExperimentBuilder:
                     except ValueError:
                         return 0.0
 
-                mid = (f_idx(p1) + f_idx(p2)) / 2.0
+                idx1, idx2 = f_idx(p1), f_idx(p2)
+                # reference experiment_builder.py:201-202: a zero second
+                # index counts as 1.0 — on a freshly renamed dir (every
+                # index 0.000000, data/video.py rename) this places the
+                # synthesized frame at 0.5 BETWEEN the pair instead of
+                # overwriting the first input frame
+                if idx2 == 0:
+                    idx2 = 1.0
+                mid = (idx1 + idx2) / 2.0
                 stem = p1.rsplit("_", 1)[0] if "_" in os.path.basename(p1) \
                     else p1.rsplit(".", 1)[0]
                 if "://" in stem:

@@ -374,6 +374,11 @@ class SyntheticSeptuplet(_Base):
         rng = np.random.RandomState(self.seed + salt + index)
         frames = self._render(rng)
         frames = np.stack([normalize_for_model(f, self.model) for f in frames])
+        # the same ndarray object is handed to every caller — make it
+        # read-only so an in-place mutation (e.g. a future augmentation
+        # path) fails loudly instead of corrupting later epochs. Memory
+        # bound: one (T, H, W, 3) f32 clip per (split, index) ever touched.
+        frames.setflags(write=False)
         paths = [f"synthetic://{index}/{t}" for t in range(self.num_frames)]
         self._cache[key] = (frames, paths)
         return frames, {"imgpaths": list(paths)}

@@ -551,7 +551,13 @@ class EpisodeBuilder:
             aux["bn_state"] = bn_state
         if support_preds is not None:
             aux["support_preds"] = support_preds
-        if query_preds is not None and spec.collect_query_preds:
+        if (query_preds is not None and spec.collect_query_preds
+                and query_preds.ndim >= 5):
+            # ndim guard: adapt returns a (1, 0) placeholder (→ (B, 1, 0)
+            # here) when there are no per-step MSL query preds to collect
+            # (num_inner_steps == 1 — the only query criterion call is the
+            # final one); attaching it would feed a rank-2 fake into the
+            # discriminator update
             aux["query_preds"] = query_preds
         if with_metrics:
             qt = spec.target_idxs[1]

@@ -143,6 +143,16 @@ class SceneAdaptiveInterpolation:
             # the pallas op's hand-written backward is not itself
             # differentiable; second-order MAML needs the jnp path
             self.model_kwargs["use_pallas"] = False
+        if (cfg.per_step_bn_statistics
+                and not cfg.enable_inner_loop_optimizable_bn_params
+                and self.model_def.bn_state_init_fn is not None):
+            # reference MetaBatchNormLayer combination: per-step stats AND
+            # per-step (S, C) affine rows — weight[num_step]/bias[num_step]
+            # (model_utils.py:453-461, 504-511). Outer-trainable, never
+            # inner-adapted. With enable_inner_loop_optimizable_bn_params
+            # the reference substitutes a flat adaptable affine (:470-475)
+            # — the other wired combination.
+            self.model_kwargs["per_step_bn_affine"] = cfg.num_inner_steps
         net_params = self.model_def.init(r_net, **self.model_kwargs)
         self.inner_opt = make_inner_optimizer(cfg)
         if cfg.use_multi_step_loss_optimization and cfg.num_inner_steps == 0:
@@ -501,31 +511,47 @@ class SceneAdaptiveInterpolation:
                 self._disc_iter)
             if "support_preds" in aux:
                 # --disc_per_forward: reference cadence — one D update per
-                # criterion call (loss.py:168-213): every (step, support
-                # pair) forward in episode order; while MSL is active each
-                # step's query criterion follows its support pair, and the
-                # last step's query IS the final update below
-                # (meta_learning_system.py:386-412 — support pair A, B,
-                # inner update, [MSL] per-step query, next step, ...)
+                # criterion call (loss.py:168-213), and the reference calls
+                # the criterion inside `for task_id in range(batch)`
+                # (meta_learning_system.py:366), so tasks are SEQUENTIAL:
+                # all of task 0's (step, support pair, [MSL] query, final
+                # query) updates, then task 1's, ... Each update sees a
+                # single-task batch, which also matches the reference's
+                # discriminator BN batch statistics.
                 sp = aux["support_preds"]  # (B, steps, n_pairs, H, W, C)
                 qp = aux.get("query_preds")  # (B, steps-1, H, W, C) | None
-                for s in range(sp.shape[1]):
-                    for p, (_i0, it, _i1) in enumerate(
-                            self.cfg.support_idxs("train")):
-                        rng, r = jax.random.split(rng)
-                        d_params, d_opt, _ = upd(d_params, d_opt,
-                                                 sp[:, s, p], frames[:, it],
-                                                 r)
-                    if qp is not None and s < qp.shape[1]:
-                        rng, r = jax.random.split(rng)
-                        d_params, d_opt, _ = upd(d_params, d_opt,
-                                                 qp[:, s], frames[:, qt], r)
-            # query-pred update (the default single per-iteration update;
-            # under --disc_per_forward this is the final query criterion —
-            # the last MSL step's query when MSL is active)
-            rng, r = jax.random.split(rng)
-            d_params, d_opt, d_loss = upd(d_params, d_opt,
-                                          aux["preds"], frames[:, qt], r)
+                if qp is not None and qp.ndim != 5:
+                    # degenerate placeholder, e.g. (B, 1, 0) when
+                    # num_inner_steps == 1 under MSL (the only query
+                    # criterion call is the final one below)
+                    qp = None
+                for b in range(sp.shape[0]):
+                    for s in range(sp.shape[1]):
+                        for p, (_i0, it, _i1) in enumerate(
+                                self.cfg.support_idxs("train")):
+                            rng, r = jax.random.split(rng)
+                            d_params, d_opt, _ = upd(
+                                d_params, d_opt, sp[b:b + 1, s, p],
+                                frames[b:b + 1, it], r)
+                        if qp is not None and s < qp.shape[1]:
+                            rng, r = jax.random.split(rng)
+                            d_params, d_opt, _ = upd(
+                                d_params, d_opt, qp[b:b + 1, s],
+                                frames[b:b + 1, qt], r)
+                    # this task's final query criterion (the last MSL
+                    # step's query when MSL is active)
+                    rng, r = jax.random.split(rng)
+                    d_params, d_opt, d_loss = upd(
+                        d_params, d_opt, aux["preds"][b:b + 1],
+                        frames[b:b + 1, qt], r)
+            else:
+                # default cadence: ONE batched query-pred update per outer
+                # iteration (documented deviation — the reference updates D
+                # inside every criterion call; --disc_per_forward restores
+                # that exactly)
+                rng, r = jax.random.split(rng)
+                d_params, d_opt, d_loss = upd(d_params, d_opt,
+                                              aux["preds"], frames[:, qt], r)
             self.adv_state.params = d_params
             self.adv_state.opt_state = d_opt
             self.meta_params["loss_ctx"]["disc"] = d_params

@@ -181,17 +181,35 @@ def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,
     # RCAB body instead of n_resgroups*n_resblocks copies: compile time
     # drops ~20x and the scheduler double-buffers the weight streams
     # (measured 25.1 -> 20.3 ms per batch-16 step at 448x256 on v5e).
-    def rcab_body(z, rp):
-        return _rcab(rp, z, fuse_pad=fuse_pad), None
+    def make_group_body(mode):
+        def rcab_body(z, rp):
+            return _rcab(rp, z, fuse_pad=mode), None
 
-    def group_body(z, gp):
-        res, _ = jax.lax.scan(rcab_body, z, gp["rcabs"])
-        res = _conv_norm(gp["tail"], res, fuse_pad=fuse_pad)
-        return res + z, None
+        def group_body(z, gp):
+            res, _ = jax.lax.scan(rcab_body, z, gp["rcabs"])
+            res = _conv_norm(gp["tail"], res, fuse_pad=mode)
+            return res + z, None
+
+        return group_body
 
     stacked = (packed_body if packed_body is not None
                else _stack_body(p, n_resgroups, n_resblocks))
-    res, _ = jax.lax.scan(group_body, x, stacked)
+    if isinstance(fuse_pad, (list, tuple)):
+        # per-group fuse modes (serving ablation): consecutive groups with
+        # the same mode share one scan segment — same math as the scalar
+        # form when all modes agree (pinned by test)
+        assert len(fuse_pad) == n_resgroups, (fuse_pad, n_resgroups)
+        res = x
+        g = 0
+        while g < n_resgroups:
+            h = g
+            while h < n_resgroups and fuse_pad[h] == fuse_pad[g]:
+                h += 1
+            seg = jax.tree.map(lambda a: a[g:h], stacked)
+            res, _ = jax.lax.scan(make_group_body(fuse_pad[g]), res, seg)
+            g = h
+    else:
+        res, _ = jax.lax.scan(make_group_body(fuse_pad), x, stacked)
     res = res + x
     return layers.conv2d(p["tailConv"], res, padding=1)
 
@@ -199,7 +217,7 @@ def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,
 def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
           depth: int = 3, n_resgroups: int = 5, n_resblocks: int = 12,
           pad_multiple: int = 128, packed_body=None, fuse_pad: bool = False,
-          **_unused) -> jnp.ndarray:
+          apron: int = 0, **_unused) -> jnp.ndarray:
     """CAIN forward. NHWC [0,1] frames → NHWC interpolated midpoint frame.
 
     Mirrors MetaCAIN.forward (cain/model.py:70-94): sub-mean → pad×128 →
@@ -215,10 +233,21 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     checkpoint before serving with it. ``packed_body``: pre-stacked body
     weights from ``pack`` to skip per-call weight restacking in inference
     loops. ``fuse_pad``: serving-mode option replacing the body's 122
-    reflect pads with zero padding fused into the convs (see _conv_norm).
+    reflect pads with zero padding fused into the convs (see _conv_norm);
+    a list/tuple of ``n_resgroups`` modes applies per residual group
+    (serving ablation). ``apron``: reflect-pad the input by this many
+    pixels before the ``pad_multiple`` grid pad and crop after — a
+    cheaper partial stand-in for the reference's wide x128 reflect canvas
+    on the pad-8 path (at 448x256, apron=32 on W coincides width-wise with
+    the x128 pad). Keep the apron a multiple of 2**depth at pad_multiple=8
+    so the canvas stays shuffle-aligned.
     """
     x1, m1 = layers.sub_mean(frame0)
     x2, m2 = layers.sub_mean(frame1)
+    if apron:
+        a4 = (apron, apron, apron, apron)
+        x1 = layers.reflect_pad(x1, a4)
+        x2 = layers.reflect_pad(x2, a4)
     x1, pads = layers.pad_to_multiple(x1, pad_multiple)
     x2, _ = layers.pad_to_multiple(x2, pad_multiple)
 
@@ -230,4 +259,6 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
                            fuse_pad=fuse_pad)
     out = layers.pixel_shuffle(feats, float(2 ** depth))
     out = layers.unpad(out, pads)
+    if apron:
+        out = out[:, apron:-apron, apron:-apron, :]
     return out + (m1 + m2) / 2.0

@@ -44,9 +44,15 @@ def _conv_init_normal(rng, in_ch, out_ch, k, bias=True) -> Params:
     return p
 
 
-def init(rng: jax.Array, **_kw) -> Params:
+def init(rng: jax.Array, per_step_bn_affine: int = 0, **_kw) -> Params:
+    """``per_step_bn_affine=S`` (> 0): BN affine scale/bias become per-step
+    (S, C) rows initialized ones/zeros — the reference MetaBatchNormLayer's
+    ``use_per_step_bn_statistics`` WITHOUT
+    ``enable_inner_loop_optimizable_bn_params`` (model_utils.py:453-461:
+    ``self.weight[num_step]``). Outer-trainable (requires_grad =
+    learnable_gamma/beta), never inner-adapted."""
     rngs = jax.random.split(rng, 8)
-    return {
+    params = {
         "conv1": _conv_init_normal(rngs[0], 6, 64, 5, bias=False),
         "conv1_bn": layers.batch_norm_init(64),
         "conv2": _conv_init_normal(rngs[1], 64, 128, 5, bias=False),
@@ -63,6 +69,12 @@ def init(rng: jax.Array, **_kw) -> Params:
         "deconv3_bn": layers.batch_norm_init(64),
         "conv4": _conv_init_normal(rngs[7], 64, 3, 5, bias=True),
     }
+    if per_step_bn_affine > 0:
+        for name in BN_NAMES:
+            ch = params[name]["scale"].shape[0]
+            params[name]["scale"] = jnp.ones((per_step_bn_affine, ch))
+            params[name]["bias"] = jnp.zeros((per_step_bn_affine, ch))
+    return params
 
 
 def inner_mask(params: Params) -> Params:
@@ -110,19 +122,25 @@ def _cbr(p_conv, p_bn, x, k, bn_entry=None, num_step=0):
     """conv → BN → ReLU. ``bn_entry`` None: the reference VoxelFlow's
     permanently-frozen eval-mode BN (fixed affine on stored stats,
     voxel_flow.py:283-284). Else: MetaBatchNormLayer semantics with
-    use_per_step_bn_statistics + flat adaptable affine
-    (model_utils.py:504-521 — F.batch_norm(training=True): batch-stat
-    normalization, per-step running rows updated with momentum 0.1);
-    returns the updated entry."""
+    use_per_step_bn_statistics (model_utils.py:504-521 —
+    F.batch_norm(training=True): batch-stat normalization, per-step
+    running rows updated with momentum 0.1); returns the updated entry.
+    The affine follows the param shape: (S, C) rows → per-step affine
+    ``self.weight[num_step]`` (reference :504-511, the combination without
+    enable_inner_loop_optimizable_bn_params); flat (C,) → the adaptable
+    flat affine that flag substitutes (:470-475)."""
     x = layers.conv2d(p_conv, x, padding=k // 2)
     if bn_entry is None:
         return jax.nn.relu(layers.batch_norm_apply(p_bn, x)), None
-    p = {"weight": p_bn["scale"], "bias": p_bn["bias"],
+    if p_bn["scale"].ndim == 2:
+        w, b = p_bn["scale"][num_step], p_bn["bias"][num_step]
+    else:
+        w, b = p_bn["scale"], p_bn["bias"]
+    p = {"weight": w, "bias": b,
          "running_mean": bn_entry["running_mean"],
          "running_var": bn_entry["running_var"]}
     out, new = layers.meta_batch_norm_apply(
-        p, x, num_step=num_step,
-        adapted={"weight": p_bn["scale"], "bias": p_bn["bias"]})
+        p, x, num_step=num_step, adapted={"weight": w, "bias": b})
     new_entry = {"running_mean": new["running_mean"],
                  "running_var": new["running_var"]}
     return jax.nn.relu(out), new_entry

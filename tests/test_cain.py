@@ -168,3 +168,40 @@ def test_cain_fuse_pad_reflect_is_exact():
     fast = cain.apply(p, f0, f1, pad_multiple=4, fuse_pad="reflect", **mk)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cain_per_group_fuse_pad_and_apron():
+    """Per-group fuse_pad list: all-equal list == scalar mode (exact);
+    mixed list runs and differs from both extremes. apron=k reflect-pads
+    the input before the grid pad and crops after — output shape is
+    unchanged and apron=0 is the identity (serving ablation plumbing,
+    VERDICT r3 item 1)."""
+    mk = dict(depth=2, n_resgroups=3, n_resblocks=2)
+    p = cain.init(jax.random.PRNGKey(11), **mk)
+    rs = np.random.RandomState(5)
+    f0 = jnp.asarray(rs.rand(1, 64, 48, 3), jnp.float32)
+    f1 = jnp.asarray(rs.rand(1, 64, 48, 3), jnp.float32)
+
+    scalar_false = cain.apply(p, f0, f1, pad_multiple=4, fuse_pad=False, **mk)
+    scalar_true = cain.apply(p, f0, f1, pad_multiple=4, fuse_pad=True, **mk)
+    list_false = cain.apply(p, f0, f1, pad_multiple=4,
+                            fuse_pad=[False, False, False], **mk)
+    list_true = cain.apply(p, f0, f1, pad_multiple=4,
+                           fuse_pad=[True, True, True], **mk)
+    np.testing.assert_array_equal(np.asarray(list_false),
+                                  np.asarray(scalar_false))
+    np.testing.assert_array_equal(np.asarray(list_true),
+                                  np.asarray(scalar_true))
+
+    mixed = cain.apply(p, f0, f1, pad_multiple=4,
+                       fuse_pad=["reflect", True, "reflect"], **mk)
+    assert mixed.shape == scalar_false.shape
+    assert np.abs(np.asarray(mixed) - np.asarray(scalar_false)).max() > 0
+    assert np.abs(np.asarray(mixed) - np.asarray(scalar_true)).max() > 0
+
+    # apron: shape-preserving; 0 == no-op; on an all-reflect body the
+    # apron only changes values near the border
+    ap = cain.apply(p, f0, f1, pad_multiple=4, apron=4, **mk)
+    assert ap.shape == scalar_false.shape
+    ap0 = cain.apply(p, f0, f1, pad_multiple=4, apron=0, **mk)
+    np.testing.assert_array_equal(np.asarray(ap0), np.asarray(scalar_false))

@@ -185,9 +185,11 @@ def test_vgg_random_init_warns_loudly(capsys):
 
 def test_disc_per_forward_reference_cadence():
     """--disc_per_forward: the episode exposes per-step support preds and
-    the system performs (steps x pairs + 1) discriminator updates per
-    outer iteration (reference updates D inside every criterion call,
-    loss.py:168-213)."""
+    the system performs B x (steps x pairs + 1) single-task discriminator
+    updates per outer iteration, tasks SEQUENTIAL in episode order — the
+    reference updates D inside every criterion call (loss.py:168-213) and
+    the criterion is called inside `for task_id in range(batch)`
+    (meta_learning_system.py:366), so each update sees one task's pred."""
     from meta_interpolation_tpu.config import Config
     from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
 
@@ -203,19 +205,22 @@ def test_disc_per_forward_reference_cadence():
     real_upd = system.adv_state.jitted_update()
 
     def counting_upd(*args):
+        # every update must be a single-task batch (reference per-task
+        # criterion calls — also pins the D BN batch statistics)
+        assert args[2].shape[0] == 1, args[2].shape
         calls.append(1)
         return real_upd(*args)
 
     system.adv_state._jit_update = counting_upd
     losses, _ = system.run_train_iter(frames, epoch=0)
     assert np.isfinite(losses["loss"])
-    # 2 steps x 2 support pairs + 1 query update
-    assert len(calls) == 5, len(calls)
+    # 2 tasks x (2 steps x 2 support pairs + 1 query)
+    assert len(calls) == 10, len(calls)
 
     # MSL active: the reference's per-step query criterion calls also
     # update D (loss.py:168-213 via meta_learning_system.py:404-412) —
     # 3 criterion calls per step (pair A, pair B, step query; the last
-    # step's query is the final update) = 3n total
+    # step's query is the final update) = 3n per task
     cfg_msl = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
                      crop_size=32, loss="1*L1+0.01*GAN",
                      number_of_training_steps_per_iter=2,
@@ -229,12 +234,41 @@ def test_disc_per_forward_reference_cadence():
                                                    real_upd_msl(*a))[1]
     losses_msl, _ = system_msl.run_train_iter(frames, epoch=0)
     assert np.isfinite(losses_msl["loss"])
-    assert len(calls_msl) == 6, len(calls_msl)
+    assert len(calls_msl) == 12, len(calls_msl)
     # once MSL decays out (epoch >= multi_step_loss_num_epochs) the
-    # cadence drops back to steps x pairs + 1
+    # cadence drops back to steps x pairs + 1 per task
     calls_msl.clear()
     system_msl.run_train_iter(frames, epoch=5)
-    assert len(calls_msl) == 5, len(calls_msl)
+    assert len(calls_msl) == 10, len(calls_msl)
+
+
+def test_disc_per_forward_single_step_msl():
+    """num_inner_steps == 1 + MSL + --disc_per_forward: there are no
+    per-step MSL query preds (the only query criterion call is the final
+    one), so the episode must NOT attach the degenerate (B, 1, 0)
+    query_preds placeholder — previously this fed a rank-2 fake into the
+    jitted discriminator update and crashed at trace time (ADVICE r3)."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    rs = np.random.RandomState(0)
+    frames = rs.rand(2, 7, 32, 32, 3).astype(np.float32)
+    cfg = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
+                 crop_size=32, loss="1*L1+0.01*GAN",
+                 number_of_training_steps_per_iter=1,
+                 use_multi_step_loss_optimization=True,
+                 multi_step_loss_num_epochs=5,
+                 disc_per_forward=True)
+    system = SceneAdaptiveInterpolation(cfg)
+    calls = []
+    real_upd = system.adv_state.jitted_update()
+    system.adv_state._jit_update = lambda *a: (calls.append(1),
+                                               real_upd(*a))[1]
+    losses, _ = system.run_train_iter(frames, epoch=0)
+    assert np.isfinite(losses["loss"])
+    # per task: 1 step x 2 support pairs + the final query (which IS the
+    # step's MSL query) = 3; 2 tasks = 6
+    assert len(calls) == 6, len(calls)
 
     # default cadence: exactly one update
     cfg2 = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,

@@ -156,6 +156,53 @@ def test_voxelflow_per_step_bn_system_end_to_end():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_voxelflow_per_step_bn_affine_end_to_end():
+    """--per_step_bn_statistics WITHOUT
+    --enable_inner_loop_optimizable_bn_params: BN affine becomes per-step
+    (S, C) rows (reference model_utils.py:453-461 self.weight[num_step]),
+    outer-trained but never inner-adapted."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    cfg = Config(model="voxelflow", batch_size=1, val_batch_size=1,
+                 crop_size=32, loss="1*MSE", metasgd=True,
+                 outer_lr=1e-3,
+                 number_of_training_steps_per_iter=2,
+                 number_of_evaluation_steps_per_iter=2,
+                 per_step_bn_statistics=True)
+    system = SceneAdaptiveInterpolation(cfg)
+    net = system.meta_params["net"]
+    assert net["conv1_bn"]["scale"].shape == (2, 64)
+    assert net["conv1_bn"]["bias"].shape == (2, 64)
+    # running stats stay flat in the net tree (the per-step stats live in
+    # meta_params['bn_state'])
+    assert net["conv1_bn"]["mean"].shape == (64,)
+
+    rs = np.random.RandomState(9)
+    frames = ((rs.rand(1, 7, 32, 32, 3).astype(np.float32) * 255.0
+               - 127.5) / 127.5)
+
+    scale_before = np.asarray(net["conv1_bn"]["scale"]).copy()
+    stats_before = np.asarray(
+        system.meta_params["bn_state"]["conv1_bn"]["running_mean"]).copy()
+    system.run_train_iter(frames, epoch=0)
+    scale_after = np.asarray(
+        system.meta_params["net"]["conv1_bn"]["scale"])
+    assert np.abs(scale_after - scale_before).max() > 1e-8, \
+        "per-step affine rows are outer-trainable (requires_grad=True)"
+    stats_after = np.asarray(
+        system.meta_params["bn_state"]["conv1_bn"]["running_mean"])
+    assert np.abs(stats_after - stats_before).max() > 1e-6
+
+    # eval must not touch the meta-level per-step stats
+    snapshot = jax.tree.map(
+        lambda x: np.asarray(x).copy(), system.meta_params["bn_state"])
+    system.run_validation_iter(frames)
+    for a, b in zip(jax.tree.leaves(snapshot),
+                    jax.tree.leaves(system.meta_params["bn_state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_per_step_bn_requires_model_support():
     from meta_interpolation_tpu.config import Config
     from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation

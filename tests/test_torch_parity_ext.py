@@ -577,6 +577,104 @@ def test_per_step_bn_stats_episode_matches_reference_torch():
         np.asarray(meta["bn_state"]["running_mean"]), before)
 
 
+def test_per_step_bn_affine_episode_matches_reference_torch():
+    """The OTHER reference BN combination (VERDICT r3 item 6):
+    use_per_step_bn_statistics WITHOUT enable_inner_loop_optimizable_bn_params
+    — the affine comes from per-step (S, C) rows ``self.weight[num_step]``
+    (model_utils.py:453-461, 504-511), outer-trainable but never in the
+    inner-loop weight dict (get_inner_loop_parameter_dict drops norm_layer
+    names when the enable flag is off, meta_learning_system.py:222-226)."""
+    import torch
+    from meta_interpolation_tpu.meta.episode import (EpisodeBuilder,
+                                                     EpisodeSpec)
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+    from meta_interpolation_tpu.models import layers as L
+
+    _ref_path()
+    from model_utils import MetaBatchNormLayer
+
+    C, S = 5, 2
+    args = types.SimpleNamespace(
+        learnable_bn_gamma=True, learnable_bn_beta=True,
+        enable_inner_loop_optimizable_bn_params=False,  # per-step affine
+        number_of_training_steps_per_iter=S)
+    torch.manual_seed(33)
+    ref = MetaBatchNormLayer(C, device="cpu", args=args,
+                             use_per_step_bn_statistics=True)
+    rs = np.random.RandomState(33)
+    w_rows = (rs.rand(S, C) + 0.5).astype(np.float32)
+    b_rows = (rs.rand(S, C) - 0.5).astype(np.float32)
+    with torch.no_grad():
+        ref.weight.copy_(torch.from_numpy(w_rows))
+        ref.bias.copy_(torch.from_numpy(b_rows))
+
+    frames = rs.rand(7, 4, 6, C).astype(np.float32)
+
+    # our model: pred = per-step-BN(f0) with per-step affine rows (the
+    # voxelflow wiring: row selected by num_step, passed as the effective
+    # affine; rows excluded from inner adaptation via inner_mask)
+    def apply_fn(params, f0, f1, num_step=0, bn_state=None):
+        w = params["scale"][num_step]
+        b = params["bias"][num_step]
+        p = {"weight": w, "bias": b,
+             "running_mean": bn_state["running_mean"],
+             "running_var": bn_state["running_var"]}
+        out, new = L.meta_batch_norm_apply(
+            p, f0, num_step=num_step, adapted={"weight": w, "bias": b})
+        return out, {"running_mean": new["running_mean"],
+                     "running_var": new["running_var"]}
+
+    def loss_fn(pred, target, aux=None):
+        l = jnp.mean(jnp.abs(pred - target))
+        return {"L1": l, "total": l}
+
+    opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=S)
+    net = {"scale": jnp.asarray(w_rows), "bias": jnp.asarray(b_rows)}
+    mask = jax.tree.map(lambda _: jnp.zeros(()), net)  # never inner-adapted
+    builder = EpisodeBuilder(apply_fn, loss_fn, opt, inner_mask=mask)
+    builder.passes_bn_state = True
+    meta = {"net": net, "lrs": opt.init_lrs(net, 0.01),
+            "bn_state": {"running_mean": jnp.zeros((S, C)),
+                         "running_var": jnp.ones((S, C))}}
+    spec = EpisodeSpec(num_steps=S)
+    outer_loss, pred, q_loss, bn = builder.task_episode(
+        meta, jnp.asarray(frames), jnp.ones((S,)), spec, training=True)
+
+    # torch oracle: params=None → the layer selects weight[num_step]
+    # itself; same call sequence (per step: support A, B; then the query
+    # at the last step index — our documented clamp of the reference's
+    # latent IndexError)
+    x_nchw = frames.transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        for step in range(S):
+            for (i0, _it, _i1) in spec.support_idxs:
+                ref(torch.from_numpy(x_nchw[i0][None]), num_step=step,
+                    training=True)
+        out_ref = ref(torch.from_numpy(x_nchw[spec.target_idxs[0]][None]),
+                      num_step=S - 1, training=True).numpy()
+
+    np.testing.assert_allclose(np.asarray(bn["running_mean"]),
+                               ref.running_mean.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bn["running_var"]),
+                               ref.running_var.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred).transpose(2, 0, 1),
+                               out_ref[0], rtol=1e-4, atol=1e-5)
+
+    # the per-step rows must be reachable by the OUTER gradient (they are
+    # requires_grad=True meta-parameters in the reference)
+    def outer(meta_p):
+        loss, _, _, _ = builder.task_episode(
+            meta_p, jnp.asarray(frames), jnp.ones((S,)), spec,
+            training=True)
+        return loss
+
+    g = jax.grad(outer)(meta)
+    assert float(jnp.abs(g["net"]["scale"]).max()) > 0.0
+    assert float(jnp.abs(g["net"]["bias"]).max()) > 0.0
+
+
 # ---------------------------------------------------------------------------
 # DAIN — COMPOSED full forward (DAIN.py:495-646) with our native ops
 # substituted on the torch side (the CUDA extensions cannot run on CPU;
