@@ -325,11 +325,16 @@ class SyntheticSeptuplet(_Base):
 
     def __init__(self, model: str = "cain", mode: str = "train",
                  size: Tuple[int, int] = (256, 256), length: int = 64,
-                 num_frames: int = 7, seed: int = 0, **_kw):
+                 num_frames: int = 7, seed: int = 0, motion: float = 8.0,
+                 **_kw):
         self.model = model
         self.size = size
         self.num_frames = num_frames
         self.seed = seed
+        # blob velocity range: |v| <= motion/2 px/frame (default matches
+        # the original fixed 8.0). The warp-clamp stress protocol sweeps
+        # this past the bounded warp's range (scripts/warp_quality.py).
+        self.motion = float(motion)
         self.current_set_name = "train" if mode == "train" else mode
         self.data_length = {"train": length, "val": max(1, length // 8),
                             "test": max(1, length // 8)}
@@ -347,8 +352,8 @@ class SyntheticSeptuplet(_Base):
         n_blobs = 6
         cx = rng.rand(n_blobs) * w
         cy = rng.rand(n_blobs) * h
-        vx = (rng.rand(n_blobs) - 0.5) * 8
-        vy = (rng.rand(n_blobs) - 0.5) * 8
+        vx = (rng.rand(n_blobs) - 0.5) * self.motion
+        vy = (rng.rand(n_blobs) - 0.5) * self.motion
         radius = 10 + rng.rand(n_blobs) * 30
         color = rng.rand(n_blobs, 3).astype(np.float32)
         bg_phase = rng.rand() * 6.28

@@ -80,6 +80,67 @@ def _gather_quad(img: jnp.ndarray, x0i: jnp.ndarray, y0i: jnp.ndarray,
     return tuple(taps)
 
 
+class FlowStats:
+    """Record the pixel displacements the EXACT sampler sees — the
+    measured ground truth for choosing ``warp_range`` (the bounded warp is
+    exact for per-axis displacement in [−R, R−1] and clamps beyond).
+
+    Usage (eager only — recording is skipped under jit tracing):
+
+        with warp.FlowStats(r=8) as fs:
+            model.apply(params, f0, f1)        # warp_range=None
+        fs.frac_beyond, fs.max_disp            # aggregated over all calls
+
+    Displacement is measured against the output pixel grid (ix − x), so
+    every convention quirk (RRIN's half-pixel shift, VoxelFlow's
+    normalized flow) is already folded in.
+    """
+
+    _active = None
+
+    def __init__(self, r: int = 8):
+        self.r = r
+        self.n_beyond = 0
+        self.n_total = 0
+        self.max_disp = 0.0
+        self.calls = 0
+
+    def __enter__(self):
+        FlowStats._active = self
+        return self
+
+    def __exit__(self, *exc):
+        FlowStats._active = None
+        return False
+
+    @property
+    def frac_beyond(self) -> float:
+        return self.n_beyond / max(self.n_total, 1)
+
+    def _record(self, ix, iy, h, w):
+        import numpy as np
+        ct = ix.dtype
+        dx = np.asarray(ix - jnp.arange(w, dtype=ct)[None, None, :])
+        dy = np.asarray(iy - jnp.arange(h, dtype=ct)[None, :, None])
+        r = self.r
+        beyond = ((dx < -r) | (dx > r - 1) | (dy < -r) | (dy > r - 1))
+        self.n_beyond += int(beyond.sum())
+        self.n_total += int(beyond.size)
+        self.max_disp = max(self.max_disp,
+                            float(np.abs(dx).max()), float(np.abs(dy).max()))
+        self.calls += 1
+
+
+def _maybe_record_flow(ix, iy, h, w):
+    rec = FlowStats._active
+    if rec is None:
+        return
+    import jax.core
+    if isinstance(ix, jax.core.Tracer):  # jitted call — can't read values
+        return
+    rec._record(ix, iy, h, w)
+
+
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
                 align_corners: bool = False,
                 padding_mode: str = "zeros") -> jnp.ndarray:
@@ -97,6 +158,7 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     else:
         ix = ((gx + 1.0) * w - 1.0) * 0.5
         iy = ((gy + 1.0) * h - 1.0) * 0.5
+    _maybe_record_flow(ix, iy, h, w)
     if padding_mode == "border":
         ix = jnp.clip(ix, 0.0, w - 1)
         iy = jnp.clip(iy, 0.0, h - 1)

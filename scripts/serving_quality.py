@@ -52,11 +52,14 @@ MODES = {
 
 
 def main():
-    n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_clips = 64
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            n_clips = int(a)
     state = ckpt_lib.load_checkpoint("checkpoint/serving_ckpt")
     if state is None:
         raise SystemExit("no checkpoint/serving_ckpt/checkpoint.pkl — run "
-                         "scripts/train_serving_ckpt.py first")
+                         "scripts/train_synth_ckpt.py cain first")
     # checkpoint save maps every leaf through np.asarray, which wraps the
     # arch dict's strings/scalars in 0-d arrays — unwrap them
     def unwrap(v):
@@ -75,20 +78,34 @@ def main():
 
     preds = {}
     psnr_gt = {}
-    for label, over in MODES.items():
-        cfg = Config(**{**{k: v for k, v in arch.items()
-                           if k in Config.__dataclass_fields__}, **over})
-        system = SceneAdaptiveInterpolation(cfg)
-        system.load_state_dict(state["system"])
-        ps, outs = [], []
-        for frames, _ in clips:
-            losses, pred = system.run_validation_iter(frames[None])
-            ps.append(losses["psnr"])
-            outs.append(np.asarray(pred, np.float32))
-        preds[label] = outs
-        psnr_gt[label] = ps
-        print(f"{label:32s}: adapted-query PSNR mean {np.mean(ps):7.3f} "
-              f"min {np.min(ps):7.3f} max {np.max(ps):7.3f}", flush=True)
+
+    def eval_modes(modes, ckpt_state):
+        for label, over in modes.items():
+            cfg = Config(**{**{k: v for k, v in arch.items()
+                               if k in Config.__dataclass_fields__}, **over})
+            system = SceneAdaptiveInterpolation(cfg)
+            system.load_state_dict(ckpt_state["system"])
+            ps, ss, outs = [], [], []
+            for frames, _ in clips:
+                losses, pred = system.run_validation_iter(frames[None])
+                ps.append(losses["psnr"])
+                ss.append(losses["ssim"])
+                outs.append(np.asarray(pred, np.float32))
+            preds[label] = outs
+            psnr_gt[label] = ps
+            print(f"{label:32s}: PSNR {np.mean(ps):7.3f} +- "
+                  f"{np.std(ps):5.3f}  SSIM {np.mean(ss):.4f} +- "
+                  f"{np.std(ss):.4f}  (min {np.min(ps):7.3f})", flush=True)
+
+    eval_modes(MODES, state)
+
+    # serving-NATIVE checkpoint (scripts/train_synth_ckpt.py cain_serving):
+    # trained WITH the serving graph — its serving-mode quality is the
+    # self-consistent deployment answer to the zero-fuse deviation
+    native = ckpt_lib.load_checkpoint("checkpoint/cain_serving_native_ckpt")
+    if native is not None:
+        eval_modes({"serving-native ckpt (pad8 fuse)": dict(
+            pad_multiple=8, fuse_pad="true")}, native)
 
     exact, serving = list(MODES)[0], list(MODES)[1]
     cross = [float(metrics_lib.calc_metrics(

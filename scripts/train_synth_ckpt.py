@@ -38,6 +38,15 @@ from meta_interpolation_tpu.meta.system import (  # noqa: E402
 # 1e-5 is tuned for 5000-iteration Vimeo epochs)
 PRESETS = {
     "cain": dict(batch_size=4, loss="1*L1", exp_name="serving_ckpt"),
+    # serving-NATIVE checkpoint: meta-trained with the serving graph
+    # itself (pad_multiple=8 + zero-fuse body convs), so serving-mode
+    # inference uses the semantics it was trained/adapted with — the
+    # self-consistent answer to the zero-fuse boundary deviation
+    # (VERDICT r3 item 1; compare its adapted-query PSNR against the
+    # exact checkpoint's via scripts/serving_quality.py / serving_pareto)
+    "cain_serving": dict(model="cain", batch_size=4, loss="1*L1",
+                         exp_name="cain_serving_native_ckpt",
+                         pad_multiple=8, fuse_pad="true"),
     "voxelflow": dict(batch_size=8, loss="1*MSE",
                       exp_name="voxelflow_synth_ckpt"),
     "rrin": dict(batch_size=4, loss="1*L1", exp_name="rrin_synth_ckpt"),
@@ -50,9 +59,10 @@ PRESETS = {
 
 
 def main():
-    model = sys.argv[1] if len(sys.argv) > 1 else "cain"
+    name = sys.argv[1] if len(sys.argv) > 1 else "cain"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 250
-    preset = PRESETS[model]
+    preset = dict(PRESETS[name])
+    model = preset.pop("model", name)
     cfg = Config(model=model, dataset="synthetic", mode="train",
                  val_batch_size=1, crop_size=256, metasgd=True,
                  optimizer="Adam", inner_lr=1e-5, outer_lr=1e-4,
