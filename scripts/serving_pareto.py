@@ -92,9 +92,11 @@ def measure_quality(arch, state, clips, pad, fuse, apron):
                     "pad_multiple": pad})
     system = SceneAdaptiveInterpolation(cfg)
     # per-group fuse lists and aprons are ablation-only knobs without CLI
-    # flags — patch the model kwargs before the first jit
+    # flags — patch the model kwargs AND rebuild the episode apply_fn
+    # (the builder captured a snapshot of model_kwargs at construction)
     system.model_kwargs["fuse_pad"] = fuse
     system.model_kwargs["apron"] = apron
+    system.builder.apply_fn = system._apply_fn()
     system.load_state_dict(state["system"])
     ps, ss = [], []
     for frames, _ in clips:

@@ -193,3 +193,54 @@ def test_cli_val_davis_fake_tree(tmp_path):
     saved = _saved_pngs(ckpt, "davis")
     assert len(saved) == 1
     assert np.isfinite(stats["psnr"])
+
+
+def test_cli_pretrained_pth_loading(tmp_path):
+    """Day-one released-weights path through the REAL CLI: a torch-saved
+    .pth state_dict loads via --pretrained_model (converter + lossy merge,
+    reference meta_learning_system.py:159-171), changes the predictions,
+    and --fix_loaded freezes the loaded leaves (utils.py:79-84)."""
+    import torch
+    from meta_interpolation_tpu.models import cain
+
+    root = str(tmp_path / "vimeo")
+    seq = os.path.join(root, "sequences", "00001", "0001")
+    for i in range(1, 8):
+        _write_frame(os.path.join(seq, f"im{i}.png"), seed=60 + i)
+    for name in ("sep_trainlist.txt", "sep_testlist.txt"):
+        with open(os.path.join(root, name), "w") as f:
+            f.write("00001/0001\n")
+
+    # a DIFFERENT tiny-CAIN init exported in torch layout/naming
+    donor = cain.init(jax.random.PRNGKey(99), depth=2, n_resblocks=1)
+    sd = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, prefix + k + ".")
+            elif k == "kernel":
+                sd[prefix + "weight"] = torch.from_numpy(
+                    np.asarray(v).transpose(3, 2, 0, 1).copy())
+            else:
+                sd[prefix + k] = torch.from_numpy(np.asarray(v).copy())
+
+    walk(donor, "")
+    pth = str(tmp_path / "donor.pth")
+    torch.save(sd, pth)
+
+    ckpt_a = str(tmp_path / "ckpt_a")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    stats_plain = main(_cli("vimeo90k", root, ckpt_a))
+    stats_loaded = main(_cli("vimeo90k", root, ckpt_b,
+                             extra=["--pretrained_model", pth,
+                                    "--fix_loaded"]))
+    # the loaded weights must actually reach the forward
+    pa = _saved_pngs(ckpt_a, "vimeo90k")[0]
+    pb = _saved_pngs(ckpt_b, "vimeo90k")[0]
+    a = np.asarray(Image.open(pa), np.float32)
+    b = np.asarray(Image.open(pb), np.float32)
+    assert np.abs(a - b).max() > 0, "pretrained weights had no effect"
+    # and the returned PSNR still matches the saved file (pipeline intact)
+    got = _psnr_files(pb, os.path.join(seq, "im4.png"))
+    assert abs(stats_loaded["psnr"] - got) < PSNR_TOL
