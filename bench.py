@@ -220,6 +220,21 @@ def bench_train_tasks_per_s(batch=4, crop=256, iters=6, warmup=2,
     return batch * iters / max(t2n - tn, 1e-9)
 
 
+# Quality qualifier for the serving headline (VERDICT r3 item 9): the
+# serving mode's measured adapted-query PSNR cost on a TRAINED checkpoint
+# vs exact reference semantics (BASELINE.md serving menu;
+# scripts/serving_pareto.py / serving_quality.py). Updated per round from
+# the measured tables so BENCH_r*.json is readable without BASELINE.md.
+SERVING_QUALITY_QUALIFIER = {
+    "mode": "serving (pad_multiple=8, fuse_pad=zero, batch=128)",
+    "quality_delta_db_vs_exact": -0.63,
+    "quality_delta_note": ("adapted-query PSNR on the trained synthetic "
+                           "checkpoint vs exact pad-128 reflect semantics; "
+                           "exact mode = bench.py --exact (~630 fps, 0 dB); "
+                           "see BASELINE.md serving menu"),
+}
+
+
 def main(argv=None):
     import sys
     from meta_interpolation_tpu.core.compile_cache import (
@@ -285,7 +300,8 @@ def main(argv=None):
         fps = bench_cain_interp_fps(batch=128, iters=6, serving=True)
         print(json.dumps({"metric": "cain_interp_fps_448x256_bf16_serving",
                           "value": round(fps, 2), "unit": "frames/s/chip",
-                          "vs_baseline": round(fps / 1000.0, 4)}))
+                          "vs_baseline": round(fps / 1000.0, 4),
+                          **SERVING_QUALITY_QUALIFIER}))
         return
     if argv and argv[0] == "--train":
         # `--train [model] [--second_order]` — meta-training throughput at
@@ -359,6 +375,7 @@ def main(argv=None):
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / target, 4),
+        **SERVING_QUALITY_QUALIFIER,
     }))
 
 
