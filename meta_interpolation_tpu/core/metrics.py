@@ -41,18 +41,29 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _window_filter(img: jnp.ndarray, win1d: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable valid-conv with the gaussian window. NHWC."""
+    """Depthwise separable valid-conv with the gaussian window. NHWC.
+
+    precision=HIGHEST is load-bearing ON TPU: the default lowers f32
+    convs to bf16 passes, and SSIM's variance terms are catastrophic
+    cancellations (E[x²] − μ² ≈ units against terms ≈ 16000 at 0-255
+    scale) — measured on-chip SSIM came out > 1.1 before pinning this
+    (round-4 pareto run). CPU tests never see it (conftest forces
+    highest globally), so keep the pin here, next to the math it guards.
+    """
     k = win1d.shape[0]
     c = img.shape[-1]
     # separable: H pass then W pass; depthwise via feature_group_count=C
     kh = jnp.broadcast_to(win1d.reshape(k, 1, 1, 1), (k, 1, 1, c))
     kw = jnp.broadcast_to(win1d.reshape(1, k, 1, 1), (1, k, 1, c))
+    hp = jax.lax.Precision.HIGHEST
     dn = jax.lax.conv_dimension_numbers(img.shape, (k, 1, 1, c), ("NHWC", "HWIO", "NHWC"))
     out = jax.lax.conv_general_dilated(img, kh, (1, 1), "VALID",
-                                       dimension_numbers=dn, feature_group_count=c)
+                                       dimension_numbers=dn, feature_group_count=c,
+                                       precision=hp)
     dn2 = jax.lax.conv_dimension_numbers(out.shape, (1, k, 1, c), ("NHWC", "HWIO", "NHWC"))
     out = jax.lax.conv_general_dilated(out, kw, (1, 1), "VALID",
-                                       dimension_numbers=dn2, feature_group_count=c)
+                                       dimension_numbers=dn2, feature_group_count=c,
+                                       precision=hp)
     return out
 
 
