@@ -40,20 +40,21 @@ from meta_interpolation_tpu.models import cain  # noqa: E402
 R5 = ["reflect"] * 5
 Z5 = [True] * 5
 
-# label -> (pad_multiple, fuse_pad, apron, fps_batch)
+# label -> (pad_multiple, fuse_pad, apron, fps_batch).
+# Headline-relevant points first so partial runs are usable. Dropped as
+# known/redundant: pad128 border-corrected (same math as exact — r3
+# measured 0.000 dB), apron4 (bracketed by 0/8), RRZRR (RZZZR + ZRRRZ
+# already localize the zero-fuse cost), zero-fuse apron16 (apron8 tells
+# whether border context matters for the zero-pad body).
 POINTS = {
     "exact (pad128 reflect)":        (128, False, 0, 16),
-    "pad128 border-corrected":       (128, "reflect", 0, 16),
+    "pad8 zero-fuse (r3 headline)":  (8, True, 0, 128),
     "pad8 reflect (exact-math body)": (8, "reflect", 0, 128),
-    "pad8 reflect apron4":           (8, "reflect", 4, 128),
     "pad8 reflect apron8":           (8, "reflect", 8, 128),
     "pad8 reflect apron16":          (8, "reflect", 16, 128),
-    "pad8 zero-fuse (r3 headline)":  (8, True, 0, 128),
     "pad8 fuse[RZZZR]":              (8, ["reflect"] + [True] * 3 + ["reflect"], 0, 128),
-    "pad8 fuse[RRZRR]":              (8, R5[:2] + [True] + R5[:2], 0, 128),
     "pad8 fuse[ZRRRZ]":              (8, [True] + R5[:3] + [True], 0, 128),
     "pad8 zero-fuse apron8":         (8, True, 8, 128),
-    "pad8 zero-fuse apron16":        (8, True, 16, 128),
 }
 
 
