@@ -15,6 +15,10 @@ live?) and reflect aprons on the pad-8 canvas (does border context
 recover the pad8 deviation?).
 
 Usage: python scripts/serving_pareto.py [n_clips] [--fps_only|--psnr_only]
+         [--start N] [--anchor PSNR]
+--start N skips the first N points (resume a partial run); pass the
+already-measured exact-anchor mean PSNR via --anchor so dPSNR stays
+relative to the exact point.
 """
 import os
 import sys
@@ -108,12 +112,23 @@ def measure_quality(arch, state, clips, pad, fuse, apron):
 
 
 def main():
+    argv = sys.argv[1:]
+    fps_only = "--fps_only" in argv
+    psnr_only = "--psnr_only" in argv
+    start = 0
+    anchor = None
+    if "--start" in argv:
+        i = argv.index("--start")
+        start = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--anchor" in argv:
+        i = argv.index("--anchor")
+        anchor = float(argv[i + 1])
+        del argv[i:i + 2]
     n_clips = 8
-    for a in sys.argv[1:]:
+    for a in argv:
         if a.isdigit():
             n_clips = int(a)
-    fps_only = "--fps_only" in sys.argv
-    psnr_only = "--psnr_only" in sys.argv
 
     state = ckpt_lib.load_checkpoint("checkpoint/serving_ckpt")
     if state is None:
@@ -136,8 +151,7 @@ def main():
           f"clips @448x256  (PSNR/SSIM: adapted query vs GT)")
     print(f"{'point':34s} {'fps':>8} | {'PSNR':>8} {'+-':>6} {'SSIM':>7} "
           f"| {'dPSNR':>7}")
-    anchor = None
-    for label, (pad, fuse, apron, batch) in POINTS.items():
+    for label, (pad, fuse, apron, batch) in list(POINTS.items())[start:]:
         fps = (measure_fps(pad, fuse, apron, batch)
                if not psnr_only else float("nan"))
         if not fps_only:

@@ -9,9 +9,10 @@ via scripts/warp_quality.py.
 Device-resident clip bank (axon transfer-leak workaround — CLAUDE.md):
 the synthetic split is rendered once and batches are gathered on-device.
 
-Usage: python scripts/train_synth_ckpt.py [model] [epochs]
+Usage: python scripts/train_synth_ckpt.py [model] [epochs] [--resume]
 Checkpoints land in checkpoint/<model>_synth_ckpt/ (cain keeps the
-round-3 name serving_ckpt).
+round-3 name serving_ckpt). --resume restarts from the last saved
+epoch in that directory (fresh RNG stream; fine for quality ckpts).
 """
 import os
 import sys
@@ -61,6 +62,8 @@ PRESETS = {
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "cain"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    if epochs <= 0:
+        raise SystemExit("epochs must be positive")
     preset = dict(PRESETS[name])
     model = preset.pop("model", name)
     cfg = Config(model=model, dataset="synthetic", mode="train",
@@ -69,6 +72,14 @@ def main():
                  dtype="bfloat16", **preset)
     system = SceneAdaptiveInterpolation(cfg)
     out_dir = os.path.join(cfg.checkpoint_dir, cfg.exp_name)
+
+    start_epoch = 0
+    if "--resume" in sys.argv:
+        prev = ckpt_lib.load_checkpoint(out_dir)
+        if prev is not None:
+            system.load_state_dict(prev["system"])
+            start_epoch = int(prev.get("epoch", 0))
+            print(f"[resume] {out_dir} at epoch {start_epoch}", flush=True)
 
     ds = SyntheticSeptuplet(model=model, mode="train",
                             size=(cfg.crop_size, cfg.crop_size))
@@ -87,7 +98,7 @@ def main():
         print(f"[ckpt] saved at epoch {epoch}", flush=True)
 
     t0 = time.time()
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         order = rng.permutation(n_clips)
         for it in range(iters_per_epoch):
             idx = jnp.asarray(order[it * cfg.batch_size:
