@@ -11,11 +11,18 @@ shape, under the REFERENCE EVAL PROTOCOL — one inner-loop adaptation on
 the support pairs, then the query forward (the meta-init alone is a MAML
 launch pad, not a working model: its un-adapted PSNR is ~6 dB by design).
 
-Per mode (exact pad-128 reflect | serving pad-8 zero-fuse | exact-math
-pad-128 border-corrected "reflect"), reports adapted-query PSNR vs GT
-over synthetic val scenes, plus the serving-vs-exact prediction PSNR.
+Per mode (exact pad-128 reflect | serving pad-8 zero-fuse), reports
+adapted-query PSNR vs GT over synthetic val scenes, plus the
+serving-vs-exact prediction PSNR. The serving-NATIVE checkpoint (trained
+with the serving graph itself) is evaluated under BOTH modes — if the
+deviation is pure boundary semantics, the roles should flip (native
+ckpt serves at full quality and degrades under exact math).
 
-Usage: python scripts/serving_quality.py [n_clips]
+Round-4 default keeps only the modes scripts/serving_pareto.py does NOT
+already measure at n=64; --all_modes restores the full r3 table
+(border-corrected pad128 + pad8-reflect rows).
+
+Usage: python scripts/serving_quality.py [n_clips] [--all_modes]
 """
 import dataclasses
 import os
@@ -41,11 +48,12 @@ from meta_interpolation_tpu.meta.system import (  # noqa: E402
 MODES = {
     "exact (pad128 reflect)": dict(pad_multiple=128, fuse_pad="false"),
     "serving (pad8 zero-fuse)": dict(pad_multiple=8, fuse_pad="true"),
+}
+EXTRA_MODES = {
+    # same math as exact — r3 measured 0.000 dB; pad8-reflect is pareto
+    # row 3 at n=64. Re-run via --all_modes only.
     "exact-math (pad128 border-corr)": dict(pad_multiple=128,
                                             fuse_pad="reflect"),
-    # middle serving point: only the pad_multiple deviates (body convs
-    # keep exact reflect math via the border-corrected form) — 782 fps
-    # vs zero-fuse's 1015 (scripts/reflect_micro.py)
     "serving-exactmath (pad8 reflect)": dict(pad_multiple=8,
                                              fuse_pad="reflect"),
 }
@@ -56,6 +64,9 @@ def main():
     for a in sys.argv[1:]:
         if a.isdigit():
             n_clips = int(a)
+    modes = dict(MODES)
+    if "--all_modes" in sys.argv:
+        modes.update(EXTRA_MODES)
     state = ckpt_lib.load_checkpoint("checkpoint/serving_ckpt")
     if state is None:
         raise SystemExit("no checkpoint/serving_ckpt/checkpoint.pkl — run "
@@ -97,15 +108,28 @@ def main():
                   f"{np.std(ps):5.3f}  SSIM {np.mean(ss):.4f} +- "
                   f"{np.std(ss):.4f}  (min {np.min(ps):7.3f})", flush=True)
 
-    eval_modes(MODES, state)
+    eval_modes(modes, state)
 
     # serving-NATIVE checkpoint (scripts/train_synth_ckpt.py cain_serving):
     # trained WITH the serving graph — its serving-mode quality is the
-    # self-consistent deployment answer to the zero-fuse deviation
+    # self-consistent deployment answer to the zero-fuse deviation. Also
+    # evaluated under exact math: pure-boundary-semantics predicts the
+    # quality ordering flips on this checkpoint.
     native = ckpt_lib.load_checkpoint("checkpoint/cain_serving_native_ckpt")
     if native is not None:
-        eval_modes({"serving-native ckpt (pad8 fuse)": dict(
-            pad_multiple=8, fuse_pad="true")}, native)
+        eval_modes({"native ckpt, serving (pad8 fuse)": dict(
+            pad_multiple=8, fuse_pad="true"),
+            "native ckpt, exact (pad128 refl)": dict(
+                pad_multiple=128, fuse_pad="false")}, native)
+
+    # serving MIGRATION checkpoint: exact-trained weights fine-tuned a few
+    # epochs under the serving graph (train_synth_ckpt.py cain_serving_ft
+    # --init_from checkpoint/serving_ckpt) — the recovery cost for a user
+    # moving trained exact weights to the 1015-fps mode
+    ft = ckpt_lib.load_checkpoint("checkpoint/cain_serving_ft_ckpt")
+    if ft is not None:
+        eval_modes({"migrated ckpt, serving (pad8 fuse)": dict(
+            pad_multiple=8, fuse_pad="true")}, ft)
 
     exact, serving = list(MODES)[0], list(MODES)[1]
     cross = [float(metrics_lib.calc_metrics(
@@ -116,12 +140,26 @@ def main():
     print(f"  PSNR(serving pred, exact pred): mean {np.mean(cross):.3f}")
     print(f"  serving-vs-exact quality delta: "
           f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[serving]):+.4f} dB")
-    refl = list(MODES)[2]
-    print(f"  border-corrected-vs-exact delta (same math): "
-          f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[refl]):+.4f} dB")
-    mid = list(MODES)[3]
-    print(f"  pad8-only (exact-math body) delta: "
-          f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[mid]):+.4f} dB")
+    for key, label in [
+            ("exact-math (pad128 border-corr)",
+             "border-corrected-vs-exact delta (same math)"),
+            ("serving-exactmath (pad8 reflect)",
+             "pad8-only (exact-math body) delta"),
+            ("native ckpt, serving (pad8 fuse)",
+             "serving-NATIVE ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR"),
+            ("native ckpt, exact (pad128 refl)",
+             "serving-NATIVE ckpt under exact math minus its serving "
+             "mode"),
+            ("migrated ckpt, serving (pad8 fuse)",
+             "MIGRATED ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR")]:
+        if key not in psnr_gt:
+            continue
+        base = (np.mean(psnr_gt["native ckpt, serving (pad8 fuse)"])
+                if key == "native ckpt, exact (pad128 refl)"
+                else np.mean(psnr_gt[exact]))
+        print(f"  {label}: {np.mean(psnr_gt[key]) - base:+.4f} dB")
 
 
 if __name__ == "__main__":

@@ -48,6 +48,14 @@ PRESETS = {
     "cain_serving": dict(model="cain", batch_size=4, loss="1*L1",
                          exp_name="cain_serving_native_ckpt",
                          pad_multiple=8, fuse_pad="true"),
+    # serving MIGRATION: start from the exact-trained checkpoint and
+    # fine-tune briefly under the serving graph — measures what a user
+    # with trained exact weights pays (in epochs) to recover serving-mode
+    # quality: python scripts/train_synth_ckpt.py cain_serving_ft 25
+    #            --init_from checkpoint/serving_ckpt
+    "cain_serving_ft": dict(model="cain", batch_size=4, loss="1*L1",
+                            exp_name="cain_serving_ft_ckpt",
+                            pad_multiple=8, fuse_pad="true"),
     "voxelflow": dict(batch_size=8, loss="1*MSE",
                       exp_name="voxelflow_synth_ckpt"),
     "rrin": dict(batch_size=4, loss="1*L1", exp_name="rrin_synth_ckpt"),
@@ -80,6 +88,15 @@ def main():
             system.load_state_dict(prev["system"])
             start_epoch = int(prev.get("epoch", 0))
             print(f"[resume] {out_dir} at epoch {start_epoch}", flush=True)
+    elif "--init_from" in sys.argv:
+        src = sys.argv[sys.argv.index("--init_from") + 1]
+        prev = ckpt_lib.load_checkpoint(src)
+        if prev is None:
+            raise SystemExit(f"--init_from {src}: no checkpoint")
+        system.load_state_dict(prev["system"])
+        print(f"[init] weights from {src} (epoch "
+              f"{prev.get('epoch', '?')}); training under this "
+              f"preset's graph from epoch 0", flush=True)
 
     ds = SyntheticSeptuplet(model=model, mode="train",
                             size=(cfg.crop_size, cfg.crop_size))
