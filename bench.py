@@ -227,11 +227,15 @@ def bench_train_tasks_per_s(batch=4, crop=256, iters=6, warmup=2,
 # the measured tables so BENCH_r*.json is readable without BASELINE.md.
 SERVING_QUALITY_QUALIFIER = {
     "mode": "serving (pad_multiple=8, fuse_pad=zero, batch=128)",
-    "quality_delta_db_vs_exact": -0.63,
-    "quality_delta_note": ("adapted-query PSNR on the trained synthetic "
-                           "checkpoint vs exact pad-128 reflect semantics; "
-                           "exact mode = bench.py --exact (~630 fps, 0 dB); "
-                           "see BASELINE.md serving menu"),
+    "quality_delta_db_vs_exact": -1.88,
+    "quality_delta_note": ("adapted-query PSNR cost on an EXACT-trained "
+                           "checkpoint is checkpoint-dependent: r3 ckpt "
+                           "-0.63 dB (n=8), r4 retrain -1.88 dB (n=64) — "
+                           "serve exact-trained weights with fuse_pad="
+                           "reflect (~780 fps, -0.14 dB) or use a serving-"
+                           "native/migrated checkpoint for this mode "
+                           "(BASELINE.md serving menu); exact semantics = "
+                           "bench.py --exact (~630 fps, 0 dB)"),
 }
 
 

@@ -611,9 +611,15 @@ class SceneAdaptiveInterpolation:
                               "bad_epochs": self.scheduler.bad_epochs}}
 
     def load_state_dict(self, state: Dict[str, Any]):
-        self.meta_params = state["meta_params"]
+        # Checkpoint leaves are numpy (core/checkpoint.py saves via
+        # np.asarray). Put them on device ONCE here: left as numpy, every
+        # subsequent jitted call re-uploads the full tree (~600 MB for
+        # CAIN meta-params + Meta-SGD LRs), and the axon plugin leaks each
+        # host->device transfer in host RSS (CLAUDE.md) — a 64-clip eval
+        # loop then OOMs the host.
+        self.meta_params = jax.device_put(state["meta_params"])
         if state.get("opt_state") is not None:
-            self.opt_state = state["opt_state"]
+            self.opt_state = jax.device_put(state["opt_state"])
         self.current_epoch = int(state.get("epoch", 0))
         sched = state.get("scheduler")
         if sched:
