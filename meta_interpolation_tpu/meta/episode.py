@@ -106,6 +106,71 @@ class EpisodeSpec:
     second_order_einsum: bool = False
 
 
+# momentum of every per-step BN stat update (reference MetaBatchNormLayer
+# hardcodes F.batch_norm(..., momentum=0.1), model_utils.py:519-521;
+# layers.meta_batch_norm_apply default). fold_bn_states_sequential relies
+# on this value — a model passing a custom momentum must not use the fold.
+BN_MOMENTUM = 0.1
+
+
+def bn_update_counts(spec: EpisodeSpec, rows: int) -> np.ndarray:
+    """How many times one TRAINING task episode updates each per-step BN
+    stat row (static — the episode control flow is fixed by the spec).
+
+    Per step s, every support-pair forward updates row s
+    (len(support_idxs) updates); while MSL is active each step 0..n-2
+    additionally runs a per-step query forward (row s); the final query
+    forward updates row max(n-1, 0). Mirrors the reference's
+    F.batch_norm(training=True) call sites (meta_learning_system.py:
+    388-412, 415/425) and adapt()/task_episode() above.
+    """
+    counts = np.zeros((rows,), np.int64)
+    n = spec.num_steps
+    if n == 0:
+        counts[0] += 1  # only the final query forward (row clamped to 0)
+        return counts
+    counts[:n] += len(spec.support_idxs)
+    if spec.use_msl and n >= 2:
+        counts[:n - 1] += 1  # per-step MSL query forwards (steps 0..n-2)
+    counts[n - 1] += 1  # post-adaptation query forward
+    return counts
+
+
+def fold_bn_states_sequential(s0: PyTree, per_task: PyTree,
+                              spec: EpisodeSpec) -> PyTree:
+    """Exact sequential-task composition of vmapped per-task BN states.
+
+    The reference loops tasks sequentially within one iteration
+    (meta_learning_system.py:366): each task's training-mode BN calls
+    mutate the SHARED running stats, so task k starts from task k-1's
+    final state. Our episodes run under vmap with every task starting
+    from the same initial state ``s0``. Training-mode BN normalizes with
+    BATCH statistics (model_utils.py:519-521), so the running stats are
+    write-only — one episode's effect on a stat row is affine,
+    ``r = a * s0 + b`` with ``a = (1 - momentum)^c`` (``c`` = the row's
+    static update count) and ``b`` independent of ``s0``. The sequential
+    composition over tasks 0..B-1 (in batch order) is then recovered in
+    closed form from the vmapped results ``r_k``:
+
+        S_final = a^B * s0 + sum_k a^(B-1-k) * (r_k - a * s0)
+
+    Exact at any batch size (bit-level caveat: float re-association);
+    pinned against a sequentially-mutated torch oracle at B=3 in
+    tests/test_torch_parity_ext.py.
+    """
+    def fold(s0_leaf, r):
+        b_tasks, rows = r.shape[0], s0_leaf.shape[0]
+        a = jnp.asarray((1.0 - BN_MOMENTUM)
+                        ** bn_update_counts(spec, rows), s0_leaf.dtype)
+        a = a.reshape((rows,) + (1,) * (s0_leaf.ndim - 1))
+        offs = r - a * s0_leaf  # (B, rows, ...): per-task b_k
+        exps = jnp.arange(b_tasks - 1, -1, -1, dtype=s0_leaf.dtype)
+        w = a[None] ** exps.reshape((b_tasks,) + (1,) * s0_leaf.ndim)
+        return (a ** b_tasks) * s0_leaf + jnp.sum(w * offs, axis=0)
+
+    return jax.tree.map(fold, s0, per_task)
+
+
 class EpisodeBuilder:
     """Builds the per-task and batched episode functions for one model.
 

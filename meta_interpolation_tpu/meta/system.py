@@ -400,6 +400,13 @@ class SceneAdaptiveInterpolation:
 
             (loss, aux), grads = jax.value_and_grad(outer_loss, has_aux=True)(
                 meta_params)
+            if "bn_state" in aux:
+                # reference cadence: tasks mutate the shared per-step BN
+                # running stats SEQUENTIALLY within an iteration — recover
+                # that composition exactly from the vmapped per-task states
+                # (closed form; episode_lib.fold_bn_states_sequential)
+                aux["bn_state"] = episode_lib.fold_bn_states_sequential(
+                    meta_params["bn_state"], aux["bn_state"], spec)
             fmask = jax.tree.map(lambda b: jnp.asarray(b, jnp.float32), mask)
             grads = jax.tree.map(lambda g, m: g * m, grads, fmask)
             updates, opt_state = tx.update(grads, opt_state, meta_params)
@@ -491,12 +498,10 @@ class SceneAdaptiveInterpolation:
         self.meta_params, self.opt_state, loss, aux = step(
             self.meta_params, self.opt_state, frames, msl_w)
         if "bn_state" in aux:
-            # persist the per-step BN stats: per-task final states merged
-            # by mean over the task batch. (Documented deviation: the
-            # reference mutates shared state task-by-task sequentially —
-            # identical at batch_size 1.)
-            self.meta_params["bn_state"] = jax.tree.map(
-                lambda x: jnp.mean(x, axis=0), aux["bn_state"])
+            # persist the per-step BN stats — already folded inside the
+            # train step to the reference's sequential task-by-task
+            # mutation order (exact at any batch size)
+            self.meta_params["bn_state"] = aux["bn_state"]
         if self.adv_state is not None:
             qt = self.cfg.target_idxs[1]
             upd = self.adv_state.jitted_update()

@@ -675,6 +675,90 @@ def test_per_step_bn_affine_episode_matches_reference_torch():
     assert float(jnp.abs(g["net"]["bias"]).max()) > 0.0
 
 
+def test_per_step_bn_sequential_task_fold_matches_reference_torch():
+    """batch_size > 1: the reference mutates the SHARED per-step BN stats
+    task-by-task within one iteration (meta_learning_system.py:366 loop) —
+    momentum compounding, not averaging. Our vmapped per-task episodes +
+    episode.fold_bn_states_sequential (closed-form affine composition)
+    must equal a sequentially-mutated torch oracle at B=3, both without
+    and with MSL (whose per-step query forwards add stat updates)."""
+    import torch
+    from meta_interpolation_tpu.meta import episode as episode_lib
+    from meta_interpolation_tpu.meta.episode import (EpisodeBuilder,
+                                                     EpisodeSpec)
+    from meta_interpolation_tpu.meta.inner_optimizers import InnerOptimizer
+    from meta_interpolation_tpu.models import layers as L
+
+    _ref_path()
+    from model_utils import MetaBatchNormLayer
+
+    C, S, B = 5, 2, 3
+    rs = np.random.RandomState(7)
+    frames = rs.rand(B, 7, 4, 6, C).astype(np.float32)
+    scale = (rs.rand(C) + 0.5).astype(np.float32)
+    bias = (rs.rand(C) - 0.5).astype(np.float32)
+
+    def apply_fn(params, f0, f1, num_step=0, bn_state=None):
+        p = {"weight": params["scale"], "bias": params["bias"],
+             "running_mean": bn_state["running_mean"],
+             "running_var": bn_state["running_var"]}
+        out, new = L.meta_batch_norm_apply(
+            p, f0, num_step=num_step,
+            adapted={"weight": params["scale"], "bias": params["bias"]})
+        return out, {"running_mean": new["running_mean"],
+                     "running_var": new["running_var"]}
+
+    def loss_fn(pred, target, aux=None):
+        l = jnp.mean(jnp.abs(pred - target))
+        return {"L1": l, "total": l}
+
+    for use_msl in (False, True):
+        opt = InnerOptimizer(rule="SGD", lr_mode="fixed", num_steps=S)
+        builder = EpisodeBuilder(apply_fn, loss_fn, opt)
+        builder.passes_bn_state = True
+        net = {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}
+        meta = {"net": net, "lrs": opt.init_lrs(net, 0.01),
+                "bn_state": {"running_mean": jnp.zeros((S, C)),
+                             "running_var": jnp.ones((S, C))}}
+        spec = EpisodeSpec(num_steps=S, use_msl=use_msl)
+        _, aux = builder.batched_episode(meta, jnp.asarray(frames),
+                                         jnp.ones((S,)) / S, spec,
+                                         training=True)
+        assert aux["bn_state"]["running_mean"].shape == (B, S, C)
+        folded = episode_lib.fold_bn_states_sequential(
+            meta["bn_state"], aux["bn_state"], spec)
+
+        args = types.SimpleNamespace(
+            learnable_bn_gamma=True, learnable_bn_beta=True,
+            enable_inner_loop_optimizable_bn_params=True,
+            number_of_training_steps_per_iter=S)
+        torch.manual_seed(7)
+        ref = MetaBatchNormLayer(C, device="cpu", args=args,
+                                 use_per_step_bn_statistics=True)
+        w, b = torch.from_numpy(scale), torch.from_numpy(bias)
+        with torch.no_grad():
+            for k in range(B):  # tasks sequentially mutate shared state
+                x = frames[k].transpose(0, 3, 1, 2)
+                for step in range(S):
+                    for (i0, _it, _i1) in spec.support_idxs:
+                        ref(torch.from_numpy(x[i0][None]), num_step=step,
+                            params={"weight": w, "bias": b}, training=True)
+                    if use_msl and step < S - 1:
+                        # MSL: per-step query criterion forward
+                        ref(torch.from_numpy(x[spec.target_idxs[0]][None]),
+                            num_step=step, params={"weight": w, "bias": b},
+                            training=True)
+                ref(torch.from_numpy(x[spec.target_idxs[0]][None]),
+                    num_step=S - 1, params={"weight": w, "bias": b},
+                    training=True)
+        np.testing.assert_allclose(np.asarray(folded["running_mean"]),
+                                   ref.running_mean.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"msl={use_msl}")
+        np.testing.assert_allclose(np.asarray(folded["running_var"]),
+                                   ref.running_var.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"msl={use_msl}")
+
+
 # ---------------------------------------------------------------------------
 # DAIN — COMPOSED full forward (DAIN.py:495-646) with our native ops
 # substituted on the torch side (the CUDA extensions cannot run on CPU;
