@@ -34,6 +34,7 @@ compile_cache.enable_compilation_cache()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from meta_interpolation_tpu.models import layers  # noqa: E402
 from meta_interpolation_tpu.models.dain import (  # noqa: E402
     hourglass, model, mononet, rectify, s2df)
 from meta_interpolation_tpu.ops.filter_interpolation import (  # noqa: E402
@@ -61,6 +62,10 @@ def tiles(x):
 
 @jax.jit
 def stage1(x0, x2):
+    # model.apply pads to /64 before the down-up subnets (480 is not);
+    # reproduce that here so the split runs the monolith's per-tile math
+    x0, _ = layers.pad_to_multiple(x0, 64)
+    x2, _ = layers.pad_to_multiple(x2, 64)
     both = jnp.concatenate([x0, x2], axis=0)
     log_depth = hourglass.apply(params["depthNet"], both)
     n = x0.shape[0]
@@ -79,6 +84,8 @@ def stage1(x0, x2):
 
 @jax.jit
 def stage2(x0, x2, ctx0, ctx2, filt0, filt2, off0, off2):
+    x0, pads = layers.pad_to_multiple(x0, 64)
+    x2, _ = layers.pad_to_multiple(x2, 64)
     ctx0_w = filter_interpolation(ctx0, off0, filt0)
     ctx2_w = filter_interpolation(ctx2, off2, filt2)
     ref0 = filter_interpolation(x0, off0, filt0)
@@ -86,7 +93,8 @@ def stage2(x0, x2, ctx0, ctx2, filt0, filt2, off0, off2):
     coarse = ref0 / 2.0 + ref2 / 2.0
     rect_in = jnp.concatenate([coarse, ref0, ref2, off0, off2,
                                filt0, filt2, ctx0_w, ctx2_w], axis=-1)
-    return rectify.apply(params["rectifyNet"], rect_in) + coarse
+    return layers.unpad(rectify.apply(params["rectifyNet"], rect_in)
+                        + coarse, pads)
 
 
 mono_j = jax.jit(lambda a, b: model.apply(params, a, b, proj_range=8,

@@ -130,10 +130,14 @@ def main():
         if a.isdigit():
             n_clips = int(a)
 
-    state = ckpt_lib.load_checkpoint("checkpoint/serving_ckpt")
-    if state is None:
-        raise SystemExit("no checkpoint/serving_ckpt — run "
-                         "scripts/train_synth_ckpt.py cain first")
+    # fps is measured with random weights (graph-shape-only); the trained
+    # checkpoint is needed only for the quality axis
+    state = None
+    if not fps_only:
+        state = ckpt_lib.load_checkpoint("checkpoint/serving_ckpt")
+        if state is None:
+            raise SystemExit("no checkpoint/serving_ckpt — run "
+                             "scripts/train_synth_ckpt.py cain first")
 
     def unwrap(v):
         if isinstance(v, np.ndarray):
@@ -142,13 +146,17 @@ def main():
             return tuple(unwrap(e) for e in v)
         return v
 
-    arch = {k: unwrap(v) for k, v in state["arch"].items()}
-    ds = SyntheticSeptuplet(model="cain", mode="val", size=(256, 448),
-                            length=8 * n_clips)
-    clips = [ds[i] for i in range(n_clips)]
+    arch = clips = None
+    if not fps_only:
+        arch = {k: unwrap(v) for k, v in state["arch"].items()}
+        ds = SyntheticSeptuplet(model="cain", mode="val", size=(256, 448),
+                                length=8 * n_clips)
+        clips = [ds[i] for i in range(n_clips)]
 
-    print(f"checkpoint epoch {state.get('epoch', '?')}, {n_clips} val "
-          f"clips @448x256  (PSNR/SSIM: adapted query vs GT)")
+    print(f"checkpoint epoch "
+          f"{state.get('epoch', '?') if state else '(fps only)'}, "
+          f"{n_clips} val clips @448x256  "
+          f"(PSNR/SSIM: adapted query vs GT)")
     print(f"{'point':34s} {'fps':>8} | {'PSNR':>8} {'+-':>6} {'SSIM':>7} "
           f"| {'dPSNR':>7}")
     for label, (pad, fuse, apron, batch) in list(POINTS.items())[start:]:
