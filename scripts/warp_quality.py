@@ -18,6 +18,14 @@ headline shape:
                    PSNR-vs-GT for both paths + cross-PSNR + beyond-R
                    fraction as functions of max |flow|.
 
+Practical rule (measured, BASELINE.md stress table): pick R from the
+PREDICTED-flow histogram this script prints (FlowStats), not from the
+scene motion — RRIN's adapted predictions stay under 4.1 px even when
+true motion is 32 px/frame (the model under-estimates rather than
+over-shoots, so the clamp never activates and both samplers degrade
+identically past R; the failure mode under large motion is the
+model's, not the bounded sampler's).
+
 Usage: python scripts/warp_quality.py [model] [n_clips]
        python scripts/warp_quality.py [model] [n_clips] --stress
 """
