@@ -15,10 +15,12 @@ live?) and reflect aprons on the pad-8 canvas (does border context
 recover the pad8 deviation?).
 
 Usage: python scripts/serving_pareto.py [n_clips] [--fps_only|--psnr_only]
-         [--start N] [--anchor PSNR]
+         [--start N] [--anchor PSNR] [--only SUB[,SUB...]]
 --start N skips the first N points (resume a partial run); pass the
 already-measured exact-anchor mean PSNR via --anchor so dPSNR stays
-relative to the exact point.
+relative to the exact point. --only runs just the points whose label
+contains one of the given substrings (fill in missing cells without
+re-measuring the whole menu).
 """
 import os
 import sys
@@ -59,6 +61,10 @@ POINTS = {
     "pad8 fuse[RZZZR]":              (8, ["reflect"] + [True] * 3 + ["reflect"], 0, 128),
     "pad8 fuse[ZRRRZ]":              (8, [True] + R5[:3] + [True], 0, 128),
     "pad8 zero-fuse apron8":         (8, True, 8, 128),
+    # r4c finer localization: is one border group enough? (RZZZR measured
+    # 898 fps and recovers 1.31 of the zero-fuse 1.88 dB — split it)
+    "pad8 fuse[RZZZZ]":              (8, ["reflect"] + [True] * 4, 0, 128),
+    "pad8 fuse[ZZZZR]":              (8, [True] * 4 + ["reflect"], 0, 128),
 }
 
 
@@ -125,6 +131,11 @@ def main():
         i = argv.index("--anchor")
         anchor = float(argv[i + 1])
         del argv[i:i + 2]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        del argv[i:i + 2]
     n_clips = 8
     for a in argv:
         if a.isdigit():
@@ -160,6 +171,8 @@ def main():
     print(f"{'point':34s} {'fps':>8} | {'PSNR':>8} {'+-':>6} {'SSIM':>7} "
           f"| {'dPSNR':>7}")
     for label, (pad, fuse, apron, batch) in list(POINTS.items())[start:]:
+        if only is not None and not any(s in label for s in only):
+            continue
         fps = (measure_fps(pad, fuse, apron, batch)
                if not psnr_only else float("nan"))
         if not fps_only:

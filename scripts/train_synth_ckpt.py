@@ -10,6 +10,11 @@ Device-resident clip bank (axon transfer-leak workaround — CLAUDE.md):
 the synthetic split is rendered once and batches are gathered on-device.
 
 Usage: python scripts/train_synth_ckpt.py [model] [epochs] [--resume]
+         [--outer_lr X]
+--outer_lr overrides the preset's meta (outer) learning rate — the
+migration fine-tune (cain_serving_ft) degrades at the from-scratch
+1e-4 (r4c: 44.5 -> 43.1 dB over 25 epochs); fine-tuning an already
+converged checkpoint wants ~10x lower.
 Checkpoints land in checkpoint/<model>_synth_ckpt/ (cain keeps the
 round-3 name serving_ckpt). --resume restarts from the last saved
 epoch in that directory (fresh RNG stream; fine for quality ckpts).
@@ -74,9 +79,12 @@ def main():
         raise SystemExit("epochs must be positive")
     preset = dict(PRESETS[name])
     model = preset.pop("model", name)
+    outer_lr = 1e-4
+    if "--outer_lr" in sys.argv:
+        outer_lr = float(sys.argv[sys.argv.index("--outer_lr") + 1])
     cfg = Config(model=model, dataset="synthetic", mode="train",
                  val_batch_size=1, crop_size=256, metasgd=True,
-                 optimizer="Adam", inner_lr=1e-5, outer_lr=1e-4,
+                 optimizer="Adam", inner_lr=1e-5, outer_lr=outer_lr,
                  dtype="bfloat16", **preset)
     system = SceneAdaptiveInterpolation(cfg)
     out_dir = os.path.join(cfg.checkpoint_dir, cfg.exp_name)
