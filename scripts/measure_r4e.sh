@@ -1,0 +1,16 @@
+#!/bin/bash
+# Round-4e follow-up — runs after measure_r4d.sh (one chip, one remote
+# compile server: serialize — CLAUDE.md). Attacks the remaining gap in
+# the north-star conjunction from the checkpoint side with the graph
+# the pareto localization says is optimal: the all-zero-fuse NATIVE
+# checkpoint costs -0.85 dB at 1015 fps, and RZZZZ (reflect the first
+# residual group only) recovers 0.95 of the 1.88 dB zero-fuse cost on
+# exact-trained weights. A NATIVE RZZZZ checkpoint measures whether
+# co-training under the first-group-reflect graph lands near the exact
+# anchor at the ~RZZZR-class throughput (898+ fps; RZZZZ fps cell from
+# measure_r4d.sh).
+set -x
+cd /root/repo
+python scripts/train_synth_ckpt.py cain_serving_rzzzz 250 > /tmp/train_cain_rzzzz.log 2>&1
+python scripts/serving_quality.py 64                      > /tmp/serving_quality_r4e.log 2>&1
+echo MEASURE_R4E_DONE

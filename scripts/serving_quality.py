@@ -92,9 +92,16 @@ def main():
 
     def eval_modes(modes, ckpt_state):
         for label, over in modes.items():
+            over = dict(over)
+            fuse_groups = over.pop("fuse_groups", None)
             cfg = Config(**{**{k: v for k, v in arch.items()
                                if k in Config.__dataclass_fields__}, **over})
             system = SceneAdaptiveInterpolation(cfg)
+            if fuse_groups is not None:
+                # per-group fuse lists have no CLI flag — patch model
+                # kwargs + rebuild apply_fn (serving_pareto.py pattern)
+                system.model_kwargs["fuse_pad"] = fuse_groups
+                system.builder.apply_fn = system._apply_fn()
             system.load_state_dict(ckpt_state["system"])
             ps, ss, outs = [], [], []
             for frames, _ in clips:
@@ -121,6 +128,16 @@ def main():
             pad_multiple=8, fuse_pad="true"),
             "native ckpt, exact (pad128 refl)": dict(
                 pad_multiple=128, fuse_pad="false")}, native)
+
+    # serving-NATIVE under the RZZZZ graph (train_synth_ckpt.py
+    # cain_serving_rzzzz): reflect the first residual group only — the
+    # group the pareto localization shows owns 0.95 of the zero-fuse
+    # 1.88 dB — zero-fuse the rest. Evaluated under its own graph.
+    rz = ckpt_lib.load_checkpoint("checkpoint/cain_serving_rzzzz_ckpt")
+    if rz is not None:
+        eval_modes({"nativeRZ ckpt, serving (RZZZZ)": dict(
+            pad_multiple=8, fuse_pad="true",
+            fuse_groups=["reflect"] + [True] * 4)}, rz)
 
     # serving MIGRATION checkpoint: exact-trained weights fine-tuned a few
     # epochs under the serving graph (train_synth_ckpt.py cain_serving_ft
@@ -151,6 +168,9 @@ def main():
             ("native ckpt, exact (pad128 refl)",
              "serving-NATIVE ckpt under exact math minus its serving "
              "mode"),
+            ("nativeRZ ckpt, serving (RZZZZ)",
+             "RZZZZ-NATIVE ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR"),
             ("migrated ckpt, serving (pad8 fuse)",
              "MIGRATED ckpt serving-mode PSNR minus exact-ckpt "
              "exact-mode PSNR")]:

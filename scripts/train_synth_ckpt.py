@@ -61,6 +61,19 @@ PRESETS = {
     "cain_serving_ft": dict(model="cain", batch_size=4, loss="1*L1",
                             exp_name="cain_serving_ft_ckpt",
                             pad_multiple=8, fuse_pad="true"),
+    # serving-NATIVE under the RZZZZ graph (reflect the FIRST residual
+    # group, zero-fuse the rest): the pareto localization shows the
+    # first group's borders carry 0.95 of the zero-fuse 1.88 dB on
+    # exact-trained weights; training natively under this graph should
+    # land much closer to the exact anchor than the all-zero-fuse
+    # native ckpt (-0.85 dB) while keeping most of its throughput
+    # (RZZZR = 898 fps; RZZZZ cell measured by measure_r4d.sh).
+    # fuse_groups is a model-kwarg patch, not a Config field — a
+    # per-group list has no CLI flag (cf. scripts/serving_pareto.py).
+    "cain_serving_rzzzz": dict(model="cain", batch_size=4, loss="1*L1",
+                               exp_name="cain_serving_rzzzz_ckpt",
+                               pad_multiple=8, fuse_pad="true",
+                               fuse_groups=["reflect"] + [True] * 4),
     "voxelflow": dict(batch_size=8, loss="1*MSE",
                       exp_name="voxelflow_synth_ckpt"),
     "rrin": dict(batch_size=4, loss="1*L1", exp_name="rrin_synth_ckpt"),
@@ -79,6 +92,7 @@ def main():
         raise SystemExit("epochs must be positive")
     preset = dict(PRESETS[name])
     model = preset.pop("model", name)
+    fuse_groups = preset.pop("fuse_groups", None)
     outer_lr = 1e-4
     if "--outer_lr" in sys.argv:
         outer_lr = float(sys.argv[sys.argv.index("--outer_lr") + 1])
@@ -87,6 +101,12 @@ def main():
                  optimizer="Adam", inner_lr=1e-5, outer_lr=outer_lr,
                  dtype="bfloat16", **preset)
     system = SceneAdaptiveInterpolation(cfg)
+    if fuse_groups is not None:
+        # per-group fuse lists have no CLI flag — patch the model kwargs
+        # and rebuild the episode apply_fn (serving_pareto.py pattern)
+        system.model_kwargs["fuse_pad"] = fuse_groups
+        system.builder.apply_fn = system._apply_fn()
+        print(f"[graph] fuse_pad groups = {fuse_groups}", flush=True)
     out_dir = os.path.join(cfg.checkpoint_dir, cfg.exp_name)
 
     start_epoch = 0
