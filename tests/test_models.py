@@ -211,3 +211,51 @@ def test_per_step_bn_requires_model_support():
         SceneAdaptiveInterpolation(Config(model="cain", depth=2,
                                           n_resblocks=1, crop_size=32,
                                           per_step_bn_statistics=True))
+
+
+def test_system_per_group_fuse_patch_trains_and_evals():
+    """Per-group fuse_pad lists have no CLI flag; the serving scripts
+    patch ``system.model_kwargs['fuse_pad']`` and rebuild
+    ``builder.apply_fn`` (scripts/serving_pareto.py, the RZZZZ-native
+    preset in scripts/train_synth_ckpt.py). Pin that pattern end-to-end:
+    a patched system must train (finite loss, params move) and its
+    validation forward must actually use the patched graph (differ from
+    the scalar zero-fuse graph on the same weights)."""
+    from meta_interpolation_tpu.config import Config
+    from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
+
+    def build(fuse_groups=None):
+        cfg = Config(model="cain", depth=2, n_resblocks=1, crop_size=32,
+                     batch_size=1, val_batch_size=1, loss="1*L1",
+                     metasgd=True, optimizer="Adam", inner_lr=1e-5,
+                     outer_lr=1e-3, pad_multiple=8, fuse_pad="true")
+        system = SceneAdaptiveInterpolation(cfg)
+        if fuse_groups is not None:
+            system.model_kwargs["fuse_pad"] = fuse_groups
+            system.builder.apply_fn = system._apply_fn()
+        return system
+
+    rs = np.random.RandomState(11)
+    frames = ((rs.rand(1, 7, 32, 32, 3).astype(np.float32) * 255.0
+               - 127.5) / 127.5)
+
+    rzzzz = ["reflect"] + [True] * 4
+    system = build(rzzzz)
+    w_before = np.asarray(
+        jax.tree.leaves(system.meta_params["net"])[0]).copy()
+    losses, _ = system.run_train_iter(frames, epoch=0)
+    assert np.isfinite(losses["loss"])
+    w_after = np.asarray(jax.tree.leaves(system.meta_params["net"])[0])
+    assert np.abs(w_after - w_before).max() > 0.0
+
+    # same weights, patched vs scalar zero-fuse graph: predictions differ
+    # (the first group's reflect borders change the forward), proving the
+    # patch reached the episode apply_fn
+    plain = build(None)
+    plain.load_state_dict(system.state_dict())
+    patched = build(rzzzz)
+    patched.load_state_dict(system.state_dict())
+    _, pred_plain = plain.run_validation_iter(frames)
+    _, pred_patched = patched.run_validation_iter(frames)
+    assert np.abs(np.asarray(pred_patched, np.float32)
+                  - np.asarray(pred_plain, np.float32)).max() > 1e-6
