@@ -171,6 +171,26 @@ def pack(params: Params, n_resgroups: int = 5, n_resblocks: int = 12) -> Params:
                        n_resblocks)
 
 
+def boundary_fuse(first_blocks: int = 1, all_groups: bool = False,
+                  n_resgroups: int = 5, n_resblocks: int = 12):
+    """Serving operating point: reflect-math only the first
+    ``first_blocks`` RCABs of group 0 (or of every group with
+    ``all_groups=True``), zero-fuse the rest of the body.
+
+    Rationale (measured, BASELINE.md round-4 pareto): the zero-fuse
+    quality cost concentrates in the EARLIEST body convs — reflect on the
+    first residual group alone recovers 0.95 of the 1.88 dB while whole
+    extra reflect groups cost ~58 fps each (~2.3 fps per conv). RCAB
+    granularity buys the first-layer border fidelity at single-digit fps
+    cost, keeping the operating point above the 1000-fps line.
+    """
+    blockwise = (["reflect"] * first_blocks
+                 + [True] * (n_resblocks + 1 - first_blocks))
+    if all_groups:
+        return [list(blockwise) for _ in range(n_resgroups)]
+    return [blockwise] + [True] * (n_resgroups - 1)
+
+
 def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,
                    packed_body=None, fuse_pad: bool = False):
     x = jnp.concatenate([x0, x1], axis=-1)
@@ -192,18 +212,48 @@ def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,
 
         return group_body
 
+    def run_group_blockwise(z, gp, modes):
+        # per-RCAB fuse modes inside one group: n_resblocks RCAB entries
+        # + one tail-conv entry. Consecutive equal-mode RCABs share one
+        # scan segment (the group-level trick one level down).
+        assert len(modes) == n_resblocks + 1, (modes, n_resblocks)
+        res = z
+        b = 0
+        while b < n_resblocks:
+            c = b
+            while c < n_resblocks and modes[c] == modes[b]:
+                c += 1
+            seg = jax.tree.map(lambda a: a[b:c], gp["rcabs"])
+
+            def rcab_body(zz, rp, _m=modes[b]):
+                return _rcab(rp, zz, fuse_pad=_m), None
+
+            res, _ = jax.lax.scan(rcab_body, res, seg)
+            b = c
+        res = _conv_norm(gp["tail"], res, fuse_pad=modes[-1])
+        return res + z
+
     stacked = (packed_body if packed_body is not None
                else _stack_body(p, n_resgroups, n_resblocks))
     if isinstance(fuse_pad, (list, tuple)):
         # per-group fuse modes (serving ablation): consecutive groups with
         # the same mode share one scan segment — same math as the scalar
-        # form when all modes agree (pinned by test)
+        # form when all modes agree (pinned by test). An entry may itself
+        # be a list of n_resblocks+1 per-RCAB modes (last = group tail
+        # conv) for sub-group boundary-fuse ablations.
         assert len(fuse_pad) == n_resgroups, (fuse_pad, n_resgroups)
         res = x
         g = 0
         while g < n_resgroups:
+            if isinstance(fuse_pad[g], (list, tuple)):
+                gp = jax.tree.map(lambda a: a[g], stacked)
+                res = run_group_blockwise(res, gp, fuse_pad[g])
+                g += 1
+                continue
             h = g
-            while h < n_resgroups and fuse_pad[h] == fuse_pad[g]:
+            while h < n_resgroups and \
+                    not isinstance(fuse_pad[h], (list, tuple)) and \
+                    fuse_pad[h] == fuse_pad[g]:
                 h += 1
             seg = jax.tree.map(lambda a: a[g:h], stacked)
             res, _ = jax.lax.scan(make_group_body(fuse_pad[g]), res, seg)
@@ -235,7 +285,9 @@ def apply(params: Params, frame0: jnp.ndarray, frame1: jnp.ndarray,
     loops. ``fuse_pad``: serving-mode option replacing the body's 122
     reflect pads with zero padding fused into the convs (see _conv_norm);
     a list/tuple of ``n_resgroups`` modes applies per residual group
-    (serving ablation). ``apron``: reflect-pad the input by this many
+    (serving ablation); a group's entry may itself be a list of
+    ``n_resblocks + 1`` per-RCAB modes (last entry = the group's tail
+    conv) for sub-group boundary-fuse operating points. ``apron``: reflect-pad the input by this many
     pixels before the ``pad_multiple`` grid pad and crop after — a
     cheaper partial stand-in for the reference's wide x128 reflect canvas
     on the pad-8 path (at 448x256, apron=32 on W coincides width-wise with

@@ -65,6 +65,16 @@ POINTS = {
     # 898 fps and recovers 1.31 of the zero-fuse 1.88 dB — split it)
     "pad8 fuse[RZZZZ]":              (8, ["reflect"] + [True] * 4, 0, 128),
     "pad8 fuse[ZZZZR]":              (8, [True] * 4 + ["reflect"], 0, 128),
+    # r4e RCAB-granular boundary fuse (cain.boundary_fuse): reflect only
+    # the first j RCABs of group 1 (bwJ) or the first RCAB of every
+    # group (bw1x5) — the dB-per-fps-optimal shapes if the zero-fuse cost
+    # really lives in the earliest convs (reflect ~2.3 fps/conv, so these
+    # points should stay above the 1000-fps line)
+    "pad8 fuse[bw1]":                (8, cain.boundary_fuse(1), 0, 128),
+    "pad8 fuse[bw2]":                (8, cain.boundary_fuse(2), 0, 128),
+    "pad8 fuse[bw4]":                (8, cain.boundary_fuse(4), 0, 128),
+    "pad8 fuse[bw1x5]":              (8, cain.boundary_fuse(
+                                         1, all_groups=True), 0, 128),
 }
 
 

@@ -23,6 +23,13 @@ already measure at n=64; --all_modes restores the full r3 table
 (border-corrected pad128 + pad8-reflect rows).
 
 Usage: python scripts/serving_quality.py [n_clips] [--all_modes]
+         [--ckpts_only] [--anchor PSNR]
+
+--ckpts_only skips everything measure_r4c/r4d already measure at n=64
+(the base exact/serving modes AND the native/migrated rows) and
+evaluates only the existence-gated rzzzz/boundary-fuse checkpoint rows;
+pass the exact-anchor mean PSNR via --anchor so the printed deltas stay
+relative to the exact point.
 """
 import dataclasses
 import os
@@ -60,12 +67,19 @@ EXTRA_MODES = {
 
 
 def main():
+    argv = sys.argv[1:]
+    anchor = None
+    if "--anchor" in argv:
+        i = argv.index("--anchor")
+        anchor = float(argv[i + 1])
+        del argv[i:i + 2]
+    ckpts_only = "--ckpts_only" in argv
     n_clips = 64
-    for a in sys.argv[1:]:
+    for a in argv:
         if a.isdigit():
             n_clips = int(a)
     modes = dict(MODES)
-    if "--all_modes" in sys.argv:
+    if "--all_modes" in argv:
         modes.update(EXTRA_MODES)
     state = ckpt_lib.load_checkpoint("checkpoint/serving_ckpt")
     if state is None:
@@ -115,14 +129,16 @@ def main():
                   f"{np.std(ps):5.3f}  SSIM {np.mean(ss):.4f} +- "
                   f"{np.std(ss):.4f}  (min {np.min(ps):7.3f})", flush=True)
 
-    eval_modes(modes, state)
+    if not ckpts_only:
+        eval_modes(modes, state)
 
     # serving-NATIVE checkpoint (scripts/train_synth_ckpt.py cain_serving):
     # trained WITH the serving graph — its serving-mode quality is the
     # self-consistent deployment answer to the zero-fuse deviation. Also
     # evaluated under exact math: pure-boundary-semantics predicts the
     # quality ordering flips on this checkpoint.
-    native = ckpt_lib.load_checkpoint("checkpoint/cain_serving_native_ckpt")
+    native = (None if ckpts_only else
+              ckpt_lib.load_checkpoint("checkpoint/cain_serving_native_ckpt"))
     if native is not None:
         eval_modes({"native ckpt, serving (pad8 fuse)": dict(
             pad_multiple=8, fuse_pad="true"),
@@ -139,24 +155,42 @@ def main():
             pad_multiple=8, fuse_pad="true",
             fuse_groups=["reflect"] + [True] * 4)}, rz)
 
+    # RCAB-granular boundary-fuse NATIVE checkpoints (cain.boundary_fuse;
+    # scripts/measure_r4e.sh trains the pareto-selected point): evaluated
+    # under their own >=1000 fps training graph.
+    from meta_interpolation_tpu.models import cain as cain_model
+    for bw, fg in [("bw1", cain_model.boundary_fuse(1)),
+                   ("bw2", cain_model.boundary_fuse(2)),
+                   ("bw4", cain_model.boundary_fuse(4)),
+                   ("bw1x5", cain_model.boundary_fuse(1, all_groups=True))]:
+        st = ckpt_lib.load_checkpoint(f"checkpoint/cain_serving_{bw}_ckpt")
+        if st is not None:
+            eval_modes({f"native{bw} ckpt, serving ({bw})": dict(
+                pad_multiple=8, fuse_pad="true", fuse_groups=fg)}, st)
+
     # serving MIGRATION checkpoint: exact-trained weights fine-tuned a few
     # epochs under the serving graph (train_synth_ckpt.py cain_serving_ft
     # --init_from checkpoint/serving_ckpt) — the recovery cost for a user
     # moving trained exact weights to the 1015-fps mode
-    ft = ckpt_lib.load_checkpoint("checkpoint/cain_serving_ft_ckpt")
+    ft = (None if ckpts_only else
+          ckpt_lib.load_checkpoint("checkpoint/cain_serving_ft_ckpt"))
     if ft is not None:
         eval_modes({"migrated ckpt, serving (pad8 fuse)": dict(
             pad_multiple=8, fuse_pad="true")}, ft)
 
     exact, serving = list(MODES)[0], list(MODES)[1]
-    cross = [float(metrics_lib.calc_metrics(
-        jnp.asarray(a), jnp.asarray(b))[0])
-        for a, b in zip(preds[serving], preds[exact])]
     print(f"\ncheckpoint epoch {epoch}, {n_clips} val clips @448x256, "
           f"dtype {arch.get('dtype')}")
-    print(f"  PSNR(serving pred, exact pred): mean {np.mean(cross):.3f}")
-    print(f"  serving-vs-exact quality delta: "
-          f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[serving]):+.4f} dB")
+    if exact in preds and serving in preds:
+        cross = [float(metrics_lib.calc_metrics(
+            jnp.asarray(a), jnp.asarray(b))[0])
+            for a, b in zip(preds[serving], preds[exact])]
+        print(f"  PSNR(serving pred, exact pred): mean {np.mean(cross):.3f}")
+        print(f"  serving-vs-exact quality delta: "
+              f"{np.mean(psnr_gt[exact]) - np.mean(psnr_gt[serving]):+.4f} dB")
+    exact_mean = (np.mean(psnr_gt[exact]) if exact in psnr_gt else anchor)
+    if exact_mean is None:
+        return
     for key, label in [
             ("exact-math (pad128 border-corr)",
              "border-corrected-vs-exact delta (same math)"),
@@ -171,14 +205,29 @@ def main():
             ("nativeRZ ckpt, serving (RZZZZ)",
              "RZZZZ-NATIVE ckpt serving-mode PSNR minus exact-ckpt "
              "exact-mode PSNR"),
+            ("nativebw1 ckpt, serving (bw1)",
+             "bw1-NATIVE ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR"),
+            ("nativebw2 ckpt, serving (bw2)",
+             "bw2-NATIVE ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR"),
+            ("nativebw4 ckpt, serving (bw4)",
+             "bw4-NATIVE ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR"),
+            ("nativebw1x5 ckpt, serving (bw1x5)",
+             "bw1x5-NATIVE ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR"),
             ("migrated ckpt, serving (pad8 fuse)",
              "MIGRATED ckpt serving-mode PSNR minus exact-ckpt "
              "exact-mode PSNR")]:
         if key not in psnr_gt:
             continue
-        base = (np.mean(psnr_gt["native ckpt, serving (pad8 fuse)"])
-                if key == "native ckpt, exact (pad128 refl)"
-                else np.mean(psnr_gt[exact]))
+        if key == "native ckpt, exact (pad128 refl)":
+            if "native ckpt, serving (pad8 fuse)" not in psnr_gt:
+                continue
+            base = np.mean(psnr_gt["native ckpt, serving (pad8 fuse)"])
+        else:
+            base = exact_mean
         print(f"  {label}: {np.mean(psnr_gt[key]) - base:+.4f} dB")
 
 

@@ -38,6 +38,7 @@ from meta_interpolation_tpu.core import checkpoint as ckpt_lib  # noqa: E402
 from meta_interpolation_tpu.data.datasets import SyntheticSeptuplet  # noqa: E402
 from meta_interpolation_tpu.meta.system import (  # noqa: E402
     SceneAdaptiveInterpolation)
+from meta_interpolation_tpu.models import cain  # noqa: E402
 
 # per-model training presets: the run_*.sh hyperparameters, with the
 # outer LR raised to 1e-4 (the synthetic set is tiny; the presets'
@@ -74,6 +75,28 @@ PRESETS = {
                                exp_name="cain_serving_rzzzz_ckpt",
                                pad_multiple=8, fuse_pad="true",
                                fuse_groups=["reflect"] + [True] * 4),
+    # RCAB-granular boundary-fuse graphs (cain.boundary_fuse): the
+    # measured-fps-qualified >=1000 fps candidates — reflect the first
+    # j RCABs of group 1 (bwJ) or the first RCAB of every group (bw1x5),
+    # zero-fuse the rest. scripts/measure_r4e.sh trains the point the
+    # pareto sweep selects (fps >= threshold, best PSNR).
+    "cain_serving_bw1": dict(model="cain", batch_size=4, loss="1*L1",
+                             exp_name="cain_serving_bw1_ckpt",
+                             pad_multiple=8, fuse_pad="true",
+                             fuse_groups=cain.boundary_fuse(1)),
+    "cain_serving_bw2": dict(model="cain", batch_size=4, loss="1*L1",
+                             exp_name="cain_serving_bw2_ckpt",
+                             pad_multiple=8, fuse_pad="true",
+                             fuse_groups=cain.boundary_fuse(2)),
+    "cain_serving_bw4": dict(model="cain", batch_size=4, loss="1*L1",
+                             exp_name="cain_serving_bw4_ckpt",
+                             pad_multiple=8, fuse_pad="true",
+                             fuse_groups=cain.boundary_fuse(4)),
+    "cain_serving_bw1x5": dict(model="cain", batch_size=4, loss="1*L1",
+                               exp_name="cain_serving_bw1x5_ckpt",
+                               pad_multiple=8, fuse_pad="true",
+                               fuse_groups=cain.boundary_fuse(
+                                   1, all_groups=True)),
     "voxelflow": dict(batch_size=8, loss="1*MSE",
                       exp_name="voxelflow_synth_ckpt"),
     "rrin": dict(batch_size=4, loss="1*L1", exp_name="rrin_synth_ckpt"),

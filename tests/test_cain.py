@@ -205,3 +205,42 @@ def test_cain_per_group_fuse_pad_and_apron():
     assert ap.shape == scalar_false.shape
     ap0 = cain.apply(p, f0, f1, pad_multiple=4, apron=0, **mk)
     np.testing.assert_array_equal(np.asarray(ap0), np.asarray(scalar_false))
+
+
+def test_cain_blockwise_fuse_pad():
+    """Sub-group fuse lists: a group entry that is itself a list of
+    n_resblocks+1 per-RCAB modes (last = tail conv). All-equal blockwise
+    list == the scalar group mode to fp-reassociation tolerance (the
+    blockwise group runs outside the group-axis scan, so XLA fuses it
+    differently — same math, different summation order); a boundary-fuse
+    point (first RCAB reflect, rest zero) runs and differs from both
+    extremes."""
+    mk = dict(depth=2, n_resgroups=3, n_resblocks=2)
+    p = cain.init(jax.random.PRNGKey(13), **mk)
+    rs = np.random.RandomState(6)
+    f0 = jnp.asarray(rs.rand(1, 64, 48, 3), jnp.float32)
+    f1 = jnp.asarray(rs.rand(1, 64, 48, 3), jnp.float32)
+    nb = mk["n_resblocks"]
+
+    # all-equal blockwise == scalar group entry, bit-exact
+    grp_true = cain.apply(p, f0, f1, pad_multiple=4,
+                          fuse_pad=[True, True, True], **mk)
+    bw_true = cain.apply(p, f0, f1, pad_multiple=4,
+                         fuse_pad=[[True] * (nb + 1), True, True], **mk)
+    np.testing.assert_allclose(np.asarray(bw_true), np.asarray(grp_true),
+                               rtol=1e-4, atol=1e-5)
+
+    grp_refl = cain.apply(p, f0, f1, pad_multiple=4,
+                          fuse_pad=["reflect", True, True], **mk)
+    bw_refl = cain.apply(p, f0, f1, pad_multiple=4,
+                         fuse_pad=[["reflect"] * (nb + 1), True, True], **mk)
+    np.testing.assert_allclose(np.asarray(bw_refl), np.asarray(grp_refl),
+                               rtol=1e-4, atol=1e-5)
+
+    # boundary point: first RCAB of group 1 reflect, everything else zero
+    bw1 = cain.apply(p, f0, f1, pad_multiple=4,
+                     fuse_pad=[["reflect"] + [True] * nb, True, True], **mk)
+    assert bw1.shape == grp_true.shape
+    assert np.all(np.isfinite(np.asarray(bw1)))
+    assert np.abs(np.asarray(bw1) - np.asarray(grp_true)).max() > 0
+    assert np.abs(np.asarray(bw1) - np.asarray(grp_refl)).max() > 0
