@@ -116,6 +116,14 @@ class Config:
     # approximation, plain zero SAME padding (boundary context changes —
     # validate on a trained checkpoint, see models/cain._conv_norm).
     fuse_pad: str = "false"
+    # CAIN per-group / RCAB-granular serving graph (overrides --fuse_pad
+    # when set): "RZZZZ"-style per-residual-group letter strings
+    # (R=reflect, Z=zero-fuse, X=exact), "bwJ"/"bwJx5" boundary-fuse
+    # points (reflect the first J RCABs — models/cain.parse_fuse_spec),
+    # or exact|zero|reflect. Gives the measured serving Pareto points a
+    # first-class CLI surface; the token is recorded in checkpoint arch
+    # so graph-specific checkpoints are self-describing.
+    fuse_groups: Optional[str] = None
     # GAN discriminator update cadence. Default (False): one update per
     # outer iteration on the query preds. True: reference cadence — the
     # reference updates D inside EVERY criterion call (loss.py:168-213 —

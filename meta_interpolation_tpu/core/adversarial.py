@@ -116,6 +116,51 @@ def generator_loss(disc_params: Params, fake: jnp.ndarray, gan_type: str,
     return -jnp.mean(d_fake)
 
 
+def build_replay_sequence(sp, qp, final_preds, frames, support_target_idxs,
+                          query_target_idx):
+    """Flatten the reference's --disc_per_forward criterion-call order
+    into (fakes, reals) update sequences of shape (N, 1, H, W, C).
+
+    sp: (B, S, P, H, W, C) per-step support preds; qp: (B, Sq, H, W, C)
+    per-step MSL query preds for steps 0..Sq-1 (or None); final_preds:
+    (B, H, W, C) the last query pred; frames: (B, T, H, W, C);
+    support_target_idxs: the P per-pair target frame indices;
+    query_target_idx: the query target frame index.
+
+    N = B * (S*P + Sq + 1), in the reference's exact order (the criterion
+    updates D on every call, inside the per-task python loop —
+    loss.py:168-213, meta_learning_system.py:366): tasks SEQUENTIAL;
+    within a task, per inner step the P support-pair preds then (while
+    MSL is active) that step's query pred; after all steps, the final
+    query pred. Every row is a single-task batch, which also matches the
+    reference discriminator's BN batch statistics.
+    """
+    B, S, P = sp.shape[:3]
+    img = sp.shape[3:]
+    sup_t = frames[:, jnp.asarray(support_target_idxs)]       # (B, P, ...)
+    sup_t = jnp.broadcast_to(sup_t[:, None], (B, S, P) + img)
+    q_t = frames[:, query_target_idx]                          # (B, ...)
+    if qp is not None:
+        sq = qp.shape[1]
+        head_f = jnp.concatenate([sp[:, :sq], qp[:, :, None]], axis=2)
+        head_r = jnp.concatenate(
+            [sup_t[:, :sq],
+             jnp.broadcast_to(q_t[:, None, None], (B, sq, 1) + img)],
+            axis=2)
+        parts_f = [head_f.reshape(B, sq * (P + 1), *img),
+                   sp[:, sq:].reshape(B, (S - sq) * P, *img)]
+        parts_r = [head_r.reshape(B, sq * (P + 1), *img),
+                   sup_t[:, sq:].reshape(B, (S - sq) * P, *img)]
+    else:
+        parts_f = [sp.reshape(B, S * P, *img)]
+        parts_r = [sup_t.reshape(B, S * P, *img)]
+    fakes = jnp.concatenate(parts_f + [final_preds[:, None]], axis=1)
+    reals = jnp.concatenate(parts_r + [q_t[:, None]], axis=1)
+    n_per = fakes.shape[1]
+    return (fakes.reshape(B * n_per, 1, *img),
+            reals.reshape(B * n_per, 1, *img))
+
+
 @dataclasses.dataclass
 class AdversarialState:
     gan_type: str
@@ -162,6 +207,39 @@ class AdversarialState:
 
             object.__setattr__(self, "_jit_update", jax.jit(step))
         return self._jit_update
+
+    def jitted_sequential_update(self):
+        """Cached jitted SEQUENTIAL replay: (params, opt_state, fakes,
+        reals, keys) → (params, opt_state, losses) where fakes/reals are
+        (N, 1, H, W, C) and keys (N, 2) — N strictly-ordered single-item
+        discriminator updates as ONE lax.scan program.
+
+        This is the on-device form of the --disc_per_forward reference
+        cadence (loss.py:168-213 inside the per-task loop at
+        meta_learning_system.py:366): identical math and order to N
+        host-dispatched jitted_update calls (pinned by test), but one
+        dispatch instead of N — at bs8 x 3 MSL steps the host loop is
+        ~80 dispatches/iteration through a ~700 µs tunnel (VERDICT r4
+        item 6)."""
+        if not hasattr(self, "_jit_seq_update"):
+            tx, gan_type, patch = self.tx, self.gan_type, self.patch_size
+
+            def one(carry, x):
+                params, opt_state = carry
+                fake, real, key = x
+                tmp = AdversarialState(gan_type=gan_type, params=params,
+                                       opt_state=opt_state, tx=tx,
+                                       patch_size=patch)
+                loss = tmp.update_discriminator(fake, real, key)
+                return (tmp.params, tmp.opt_state), loss
+
+            def run(params, opt_state, fakes, reals, keys):
+                (p, o), losses = jax.lax.scan(
+                    one, (params, opt_state), (fakes, reals, keys))
+                return p, o, losses
+
+            object.__setattr__(self, "_jit_seq_update", jax.jit(run))
+        return self._jit_seq_update
 
     def update_discriminator(self, fake: jnp.ndarray, real: jnp.ndarray,
                              rng: jax.Array) -> jnp.ndarray:

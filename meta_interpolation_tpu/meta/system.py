@@ -132,10 +132,18 @@ class SceneAdaptiveInterpolation:
         # meta_learning_system.py:61)
         self.model_kwargs = {}
         if cfg.model == "cain":
+            fuse = cfg.fuse_pad_mode
+            if cfg.fuse_groups:
+                # first-class serving-graph surface: a --fuse_groups token
+                # (RZZZZ / bw1 / bw1x5 / exact|zero|reflect) overrides the
+                # scalar --fuse_pad (models/cain.parse_fuse_spec)
+                from ..models import cain as cain_model
+                fuse = cain_model.parse_fuse_spec(
+                    cfg.fuse_groups, n_resblocks=cfg.n_resblocks)
             self.model_kwargs = {"depth": cfg.depth,
                                  "n_resblocks": cfg.n_resblocks,
                                  "pad_multiple": cfg.pad_multiple,
-                                 "fuse_pad": cfg.fuse_pad_mode}
+                                 "fuse_pad": fuse}
         if cfg.model in ("rrin", "superslomo", "voxelflow") and \
                 cfg.fast_warp_range > 0:
             self.model_kwargs["warp_range"] = cfg.fast_warp_range
@@ -522,33 +530,28 @@ class SceneAdaptiveInterpolation:
                 # all of task 0's (step, support pair, [MSL] query, final
                 # query) updates, then task 1's, ... Each update sees a
                 # single-task batch, which also matches the reference's
-                # discriminator BN batch statistics.
+                # discriminator BN batch statistics. The replay runs as
+                # ONE lax.scan program on device (r4 ran it as a host loop
+                # of B*(S*P+Sq+1) separately dispatched updates — ~80
+                # dispatches/iter at bs8 x 3 MSL steps through a ~700 µs
+                # tunnel; scan order/math pinned identical by test).
+                from ..core.adversarial import build_replay_sequence
                 sp = aux["support_preds"]  # (B, steps, n_pairs, H, W, C)
                 qp = aux.get("query_preds")  # (B, steps-1, H, W, C) | None
                 if qp is not None and qp.ndim != 5:
                     # degenerate placeholder, e.g. (B, 1, 0) when
                     # num_inner_steps == 1 under MSL (the only query
-                    # criterion call is the final one below)
+                    # criterion call is the final one)
                     qp = None
-                for b in range(sp.shape[0]):
-                    for s in range(sp.shape[1]):
-                        for p, (_i0, it, _i1) in enumerate(
-                                self.cfg.support_idxs("train")):
-                            rng, r = jax.random.split(rng)
-                            d_params, d_opt, _ = upd(
-                                d_params, d_opt, sp[b:b + 1, s, p],
-                                frames[b:b + 1, it], r)
-                        if qp is not None and s < qp.shape[1]:
-                            rng, r = jax.random.split(rng)
-                            d_params, d_opt, _ = upd(
-                                d_params, d_opt, qp[b:b + 1, s],
-                                frames[b:b + 1, qt], r)
-                    # this task's final query criterion (the last MSL
-                    # step's query when MSL is active)
-                    rng, r = jax.random.split(rng)
-                    d_params, d_opt, d_loss = upd(
-                        d_params, d_opt, aux["preds"][b:b + 1],
-                        frames[b:b + 1, qt], r)
+                fakes, reals = build_replay_sequence(
+                    sp, qp, aux["preds"], frames,
+                    [it for (_i0, it, _i1)
+                     in self.cfg.support_idxs("train")], qt)
+                keys = jax.random.split(rng, fakes.shape[0])
+                seq_upd = self.adv_state.jitted_sequential_update()
+                d_params, d_opt, d_losses = seq_upd(
+                    d_params, d_opt, fakes, reals, keys)
+                d_loss = d_losses[-1]
             else:
                 # default cadence: ONE batched query-pred update per outer
                 # iteration (documented deviation — the reference updates D
@@ -615,7 +618,20 @@ class SceneAdaptiveInterpolation:
                               "best": self.scheduler.best,
                               "bad_epochs": self.scheduler.bad_epochs}}
 
-    def load_state_dict(self, state: Dict[str, Any]):
+    def load_state_dict(self, state: Dict[str, Any],
+                        restore_opt: bool = True):
+        """Restore meta-params (and, by default, outer-optimizer state).
+
+        ``restore_opt=False`` loads the WEIGHTS only and keeps the freshly
+        built outer optimizer/scheduler — the reference's behavior when
+        initializing from a checkpoint: it always constructs a new outer
+        optimizer at the configured LR (meta_learning_system.py:132-144).
+        This matters because with ``optax.inject_hyperparams`` the outer
+        LR lives inside ``opt_state.hyperparams``; restoring ``opt_state``
+        whole silently overrides a freshly configured ``--outer_lr``
+        (VERDICT r4: the 1e-5 migration fine-tune bitwise-reproduced the
+        1e-4 run). Use ``restore_opt=True`` only for a true resume of the
+        SAME run (same graph, same configured LR)."""
         # Checkpoint leaves are numpy (core/checkpoint.py saves via
         # np.asarray). Put them on device ONCE here: left as numpy, every
         # subsequent jitted call re-uploads the full tree (~600 MB for
@@ -623,9 +639,11 @@ class SceneAdaptiveInterpolation:
         # host->device transfer in host RSS (CLAUDE.md) — a 64-clip eval
         # loop then OOMs the host.
         self.meta_params = jax.device_put(state["meta_params"])
+        self.current_epoch = int(state.get("epoch", 0))
+        if not restore_opt:
+            return
         if state.get("opt_state") is not None:
             self.opt_state = jax.device_put(state["opt_state"])
-        self.current_epoch = int(state.get("epoch", 0))
         sched = state.get("scheduler")
         if sched:
             self.scheduler.lr = float(sched["lr"])

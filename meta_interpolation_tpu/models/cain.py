@@ -174,8 +174,10 @@ def pack(params: Params, n_resgroups: int = 5, n_resblocks: int = 12) -> Params:
 def boundary_fuse(first_blocks: int = 1, all_groups: bool = False,
                   n_resgroups: int = 5, n_resblocks: int = 12):
     """Serving operating point: reflect-math only the first
-    ``first_blocks`` RCABs of group 0 (or of every group with
-    ``all_groups=True``), zero-fuse the rest of the body.
+    ``first_blocks`` RCABs of the first residual group — group index 0
+    of ``n_resgroups``; all group numbering here is 0-based — (or of
+    every group with ``all_groups=True``), zero-fuse the rest of the
+    body.
 
     Rationale (measured, BASELINE.md round-4 pareto): the zero-fuse
     quality cost concentrates in the EARLIEST body convs — reflect on the
@@ -189,6 +191,64 @@ def boundary_fuse(first_blocks: int = 1, all_groups: bool = False,
     if all_groups:
         return [list(blockwise) for _ in range(n_resgroups)]
     return [blockwise] + [True] * (n_resgroups - 1)
+
+
+def parse_fuse_spec(spec: str, n_resgroups: int = 5, n_resblocks: int = 12):
+    """Parse a ``--fuse_groups`` token into a ``cain.apply`` fuse_pad value.
+
+    The CLI surface for the serving graph menu (VERDICT r4 item 4 — the
+    best measured operating points were script-level model-kwarg patches
+    before):
+
+      * ``exact``            -> ``False``  (materialized reflect pads,
+        reference-exact; same as ``--fuse_pad false``)
+      * ``zero``             -> ``True``   (zero-SAME fused body convs)
+      * ``reflect``          -> ``"reflect"`` (border-corrected fused
+        convs — exact math, fp-reassociated)
+      * per-group letter string of length ``n_resgroups`` over
+        ``R`` (reflect) / ``Z`` (zero-fuse) / ``X`` (exact), groups
+        listed first-to-last (0-based index = string position):
+        ``RZZZZ`` = reflect group 0, zero-fuse groups 1-4
+      * ``bwJ`` (e.g. ``bw1``, ``bw2``) -> :func:`boundary_fuse` (J):
+        reflect the first J RCABs of group 0, zero-fuse the rest
+      * ``bwJxG`` with G == n_resgroups (e.g. ``bw1x5``) ->
+        ``boundary_fuse(J, all_groups=True)``
+    """
+    import re
+
+    low = spec.lower()
+    if low in ("exact", "false"):
+        return False
+    if low in ("zero", "true"):
+        return True
+    if low == "reflect":
+        return "reflect"
+    m = re.fullmatch(r"bw(\d+)(?:x(\d+))?", low)
+    if m:
+        j = int(m.group(1))
+        if not 1 <= j <= n_resblocks:
+            raise ValueError(f"--fuse_groups {spec!r}: bwJ needs "
+                             f"1 <= J <= {n_resblocks}")
+        if m.group(2) is not None:
+            if int(m.group(2)) != n_resgroups:
+                raise ValueError(
+                    f"--fuse_groups {spec!r}: bwJxG supports only "
+                    f"G == n_resgroups ({n_resgroups})")
+            return boundary_fuse(j, all_groups=True,
+                                 n_resgroups=n_resgroups,
+                                 n_resblocks=n_resblocks)
+        return boundary_fuse(j, n_resgroups=n_resgroups,
+                             n_resblocks=n_resblocks)
+    letters = {"R": "reflect", "Z": True, "X": False}
+    if all(c in letters for c in spec):
+        if len(spec) != n_resgroups:
+            raise ValueError(
+                f"--fuse_groups {spec!r}: per-group letter strings need "
+                f"exactly {n_resgroups} letters (one per residual group)")
+        return [letters[c] for c in spec]
+    raise ValueError(
+        f"--fuse_groups {spec!r}: expected exact|zero|reflect, an R/Z/X "
+        f"letter string of length {n_resgroups}, bwJ, or bwJx{n_resgroups}")
 
 
 def _interpolation(p: Params, x0, x1, n_resgroups: int, n_resblocks: int,

@@ -104,6 +104,7 @@ class FlowStats:
         self.n_total = 0
         self.max_disp = 0.0
         self.calls = 0
+        self.jitted_skips = 0
 
     def __enter__(self):
         FlowStats._active = self
@@ -111,6 +112,21 @@ class FlowStats:
 
     def __exit__(self, *exc):
         FlowStats._active = None
+        if self.calls == 0 and self.jitted_skips > 0:
+            # every grid_sample in the context ran under jit (tracers
+            # carry no values) — frac_beyond/max_disp would read as a
+            # clean 0.0/0.0 from a probe that recorded NOTHING. Warn
+            # loudly so histogram-rule consumers can't silently trust a
+            # no-op measurement (VERDICT r4 item 8); callers that need
+            # the stats must run the probed forwards eagerly
+            # (scripts/warp_quality.py pattern).
+            import warnings
+            warnings.warn(
+                f"FlowStats recorded 0 of {self.jitted_skips} grid_sample "
+                f"calls (all jitted): frac_beyond/max_disp are no-op "
+                f"zeros, not measurements — run the probed forward "
+                f"eagerly (outside jit) to record flow displacements",
+                RuntimeWarning, stacklevel=2)
         return False
 
     @property
@@ -137,6 +153,7 @@ def _maybe_record_flow(ix, iy, h, w):
         return
     import jax.core
     if isinstance(ix, jax.core.Tracer):  # jitted call — can't read values
+        rec.jitted_skips += 1
         return
     rec._record(ix, iy, h, w)
 

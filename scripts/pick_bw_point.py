@@ -26,13 +26,20 @@ def main():
         for line in f:
             m = pat.search(line)
             if m:
-                fps = float(m.group(2)) if m.group(2) != "nan" else 0.0
+                fps = float(m.group(2))  # nan parses as float('nan')
                 rows.append((m.group(1), fps, float(m.group(3))))
     if not rows:
         raise SystemExit("no bw rows found in " + path)
+    if all(r[1] != r[1] for r in rows):  # nan != nan
+        # a --psnr_only pareto log has no fps cells: any 'highest-fps'
+        # fallback over them would silently pick an arbitrary row
+        raise SystemExit(
+            f"all {len(rows)} bw rows in {path} have fps=nan (psnr-only "
+            f"log?) — the pick needs fps-measured rows")
     qual = [r for r in rows if r[1] >= min_fps]
     pick = (max(qual, key=lambda r: r[2]) if qual
-            else max(rows, key=lambda r: r[1]))
+            else max((r for r in rows if r[1] == r[1]),
+                     key=lambda r: r[1]))
     sys.stderr.write(f"bw rows: {rows}\npicked: {pick}\n")
     print(f"cain_serving_{pick[0]}")
 

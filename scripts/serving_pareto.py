@@ -18,9 +18,13 @@ Usage: python scripts/serving_pareto.py [n_clips] [--fps_only|--psnr_only]
          [--start N] [--anchor PSNR] [--only SUB[,SUB...]]
 --start N skips the first N points (resume a partial run); pass the
 already-measured exact-anchor mean PSNR via --anchor so dPSNR stays
-relative to the exact point. --only runs just the points whose label
-contains one of the given substrings (fill in missing cells without
-re-measuring the whole menu).
+relative to the exact point. --only runs just the requested points
+(fill in missing cells without re-measuring the whole menu): each token
+matches its exact fuse[TOKEN] tag or exact label — use several tokens
+for several points (bw1 does NOT drag in bw1x5); a token matching no
+point is an error, and --only without --anchor is refused when the
+exact anchor point is filtered out (dPSNR would silently anchor to an
+arbitrary first row).
 """
 import os
 import sys
@@ -66,8 +70,8 @@ POINTS = {
     "pad8 fuse[RZZZZ]":              (8, ["reflect"] + [True] * 4, 0, 128),
     "pad8 fuse[ZZZZR]":              (8, [True] * 4 + ["reflect"], 0, 128),
     # r4e RCAB-granular boundary fuse (cain.boundary_fuse): reflect only
-    # the first j RCABs of group 1 (bwJ) or the first RCAB of every
-    # group (bw1x5) — the dB-per-fps-optimal shapes if the zero-fuse cost
+    # the first j RCABs of the first group — index 0 — (bwJ) or the first
+    # RCAB of every group (bw1x5) — the dB-per-fps-optimal shapes if the zero-fuse cost
     # really lives in the earliest convs (reflect ~2.3 fps/conv, so these
     # points should stay above the 1000-fps line)
     "pad8 fuse[bw1]":                (8, cain.boundary_fuse(1), 0, 128),
@@ -151,6 +155,27 @@ def main():
         if a.isdigit():
             n_clips = int(a)
 
+    def label_matches(label, tokens):
+        """Exact tag/label matching (ADVICE r4): 'bw1' matches
+        'pad8 fuse[bw1]' but NOT 'pad8 fuse[bw1x5]'."""
+        return any(f"[{t}]" in label or t == label for t in tokens)
+
+    if only is not None:
+        matched = [lb for lb in POINTS if label_matches(lb, only)]
+        unmatched = [t for t in only
+                     if not any(label_matches(lb, [t]) for lb in POINTS)]
+        if unmatched:
+            raise SystemExit(
+                f"--only {unmatched}: no point has that exact fuse tag or "
+                f"label; menu: {list(POINTS)}")
+        exact_label = next(iter(POINTS))
+        if (anchor is None and not fps_only
+                and exact_label not in matched):
+            raise SystemExit(
+                "--only filters out the exact anchor point — pass the "
+                "measured exact-mode mean PSNR via --anchor, or include "
+                "the exact point, so dPSNR stays relative to it")
+
     # fps is measured with random weights (graph-shape-only); the trained
     # checkpoint is needed only for the quality axis
     state = None
@@ -181,7 +206,7 @@ def main():
     print(f"{'point':34s} {'fps':>8} | {'PSNR':>8} {'+-':>6} {'SSIM':>7} "
           f"| {'dPSNR':>7}")
     for label, (pad, fuse, apron, batch) in list(POINTS.items())[start:]:
-        if only is not None and not any(s in label for s in only):
+        if only is not None and not label_matches(label, only):
             continue
         fps = (measure_fps(pad, fuse, apron, batch)
                if not psnr_only else float("nan"))

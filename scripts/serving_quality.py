@@ -106,16 +106,13 @@ def main():
 
     def eval_modes(modes, ckpt_state):
         for label, over in modes.items():
-            over = dict(over)
-            fuse_groups = over.pop("fuse_groups", None)
+            # per-group graphs ride the r5 first-class fuse_groups Config
+            # field (string token, models/cain.parse_fuse_spec); rows
+            # without one must override whatever the arch recorded
+            over = {"fuse_groups": None, **over}
             cfg = Config(**{**{k: v for k, v in arch.items()
                                if k in Config.__dataclass_fields__}, **over})
             system = SceneAdaptiveInterpolation(cfg)
-            if fuse_groups is not None:
-                # per-group fuse lists have no CLI flag — patch model
-                # kwargs + rebuild apply_fn (serving_pareto.py pattern)
-                system.model_kwargs["fuse_pad"] = fuse_groups
-                system.builder.apply_fn = system._apply_fn()
             system.load_state_dict(ckpt_state["system"])
             ps, ss, outs = [], [], []
             for frames, _ in clips:
@@ -152,21 +149,42 @@ def main():
     rz = ckpt_lib.load_checkpoint("checkpoint/cain_serving_rzzzz_ckpt")
     if rz is not None:
         eval_modes({"nativeRZ ckpt, serving (RZZZZ)": dict(
-            pad_multiple=8, fuse_pad="true",
-            fuse_groups=["reflect"] + [True] * 4)}, rz)
+            pad_multiple=8, fuse_pad="true", fuse_groups="RZZZZ")}, rz)
 
     # RCAB-granular boundary-fuse NATIVE checkpoints (cain.boundary_fuse;
     # scripts/measure_r4e.sh trains the pareto-selected point): evaluated
     # under their own >=1000 fps training graph.
-    from meta_interpolation_tpu.models import cain as cain_model
-    for bw, fg in [("bw1", cain_model.boundary_fuse(1)),
-                   ("bw2", cain_model.boundary_fuse(2)),
-                   ("bw4", cain_model.boundary_fuse(4)),
-                   ("bw1x5", cain_model.boundary_fuse(1, all_groups=True))]:
+    for bw in ("bw1", "bw2", "bw4", "bw1x5"):
         st = ckpt_lib.load_checkpoint(f"checkpoint/cain_serving_{bw}_ckpt")
         if st is not None:
             eval_modes({f"native{bw} ckpt, serving ({bw})": dict(
-                pad_multiple=8, fuse_pad="true", fuse_groups=fg)}, st)
+                pad_multiple=8, fuse_pad="true", fuse_groups=bw)}, st)
+
+    # seed REPLICATES (train_synth_ckpt.py --seed N appends _sN): error
+    # bars for the checkpoint-level serving comparisons — the r4 deltas
+    # (-0.85 native vs -1.88 exact-under-serving) rest on single runs
+    # with an admitted few-tenths-dB run-to-run spread (VERDICT r4
+    # item 5). Each replicate is evaluated under its training graph.
+    import glob as glob_lib
+    for rep in sorted(glob_lib.glob("checkpoint/cain_serving_*_ckpt_s*")):
+        tag = os.path.basename(rep)  # cain_serving_<graph>_ckpt_s<N>
+        graph = tag[len("cain_serving_"):].split("_ckpt_s")[0]
+        seed_id = tag.split("_ckpt_s")[1]
+        st = ckpt_lib.load_checkpoint(rep)
+        if st is None:
+            continue
+        over = dict(pad_multiple=8, fuse_pad="true")
+        if graph not in ("native",):
+            over["fuse_groups"] = graph.upper() if graph == "rzzzz" else graph
+        eval_modes({f"native{graph} s{seed_id} ckpt, serving": over}, st)
+    # exact-anchor replicates (train_synth_ckpt.py cain --seed N): the
+    # anchor's own run-to-run spread, evaluated under exact semantics
+    for rep in sorted(glob_lib.glob("checkpoint/serving_ckpt_s*")):
+        seed_id = os.path.basename(rep).split("_s")[-1]
+        st = ckpt_lib.load_checkpoint(rep)
+        if st is not None:
+            eval_modes({f"exact s{seed_id} ckpt, exact (pad128 refl)": dict(
+                pad_multiple=128, fuse_pad="false")}, st)
 
     # serving MIGRATION checkpoint: exact-trained weights fine-tuned a few
     # epochs under the serving graph (train_synth_ckpt.py cain_serving_ft

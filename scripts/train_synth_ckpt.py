@@ -10,11 +10,16 @@ Device-resident clip bank (axon transfer-leak workaround — CLAUDE.md):
 the synthetic split is rendered once and batches are gathered on-device.
 
 Usage: python scripts/train_synth_ckpt.py [model] [epochs] [--resume]
-         [--outer_lr X]
+         [--outer_lr X] [--seed N]
 --outer_lr overrides the preset's meta (outer) learning rate — the
 migration fine-tune (cain_serving_ft) degrades at the from-scratch
 1e-4 (r4c: 44.5 -> 43.1 dB over 25 epochs); fine-tuning an already
 converged checkpoint wants ~10x lower.
+--seed N replaces the default random seed (12345) AND suffixes the
+checkpoint dir with _sN — seed replicates for error bars on
+checkpoint-level quality comparisons (VERDICT r4 item 5). Seeding
+covers init, data order, and XLA determinism: a same-seed rerun
+reproduces PSNR tables to 3 decimals (CLAUDE.md round-4 notes).
 Checkpoints land in checkpoint/<model>_synth_ckpt/ (cain keeps the
 round-3 name serving_ckpt). --resume restarts from the last saved
 epoch in that directory (fresh RNG stream; fine for quality ckpts).
@@ -38,7 +43,6 @@ from meta_interpolation_tpu.core import checkpoint as ckpt_lib  # noqa: E402
 from meta_interpolation_tpu.data.datasets import SyntheticSeptuplet  # noqa: E402
 from meta_interpolation_tpu.meta.system import (  # noqa: E402
     SceneAdaptiveInterpolation)
-from meta_interpolation_tpu.models import cain  # noqa: E402
 
 # per-model training presets: the run_*.sh hyperparameters, with the
 # outer LR raised to 1e-4 (the synthetic set is tiny; the presets'
@@ -62,48 +66,51 @@ PRESETS = {
     "cain_serving_ft": dict(model="cain", batch_size=4, loss="1*L1",
                             exp_name="cain_serving_ft_ckpt",
                             pad_multiple=8, fuse_pad="true"),
-    # serving-NATIVE under the RZZZZ graph (reflect the FIRST residual
-    # group, zero-fuse the rest): the pareto localization shows the
-    # first group's borders carry 0.95 of the zero-fuse 1.88 dB on
+    # serving-NATIVE under the RZZZZ graph (reflect the first residual
+    # group — index 0 — zero-fuse the rest): the pareto localization
+    # shows that group's borders carry 0.95 of the zero-fuse 1.88 dB on
     # exact-trained weights; training natively under this graph should
     # land much closer to the exact anchor than the all-zero-fuse
     # native ckpt (-0.85 dB) while keeping most of its throughput
     # (RZZZR = 898 fps; RZZZZ cell measured by measure_r4d.sh).
-    # fuse_groups is a model-kwarg patch, not a Config field — a
-    # per-group list has no CLI flag (cf. scripts/serving_pareto.py).
+    # fuse_groups is the r5 first-class Config field (--fuse_groups
+    # token, models/cain.parse_fuse_spec) — recorded in the saved arch
+    # so these checkpoints are self-describing.
     "cain_serving_rzzzz": dict(model="cain", batch_size=4, loss="1*L1",
                                exp_name="cain_serving_rzzzz_ckpt",
                                pad_multiple=8, fuse_pad="true",
-                               fuse_groups=["reflect"] + [True] * 4),
+                               fuse_groups="RZZZZ"),
     # RCAB-granular boundary-fuse graphs (cain.boundary_fuse): the
     # measured-fps-qualified >=1000 fps candidates — reflect the first
-    # j RCABs of group 1 (bwJ) or the first RCAB of every group (bw1x5),
-    # zero-fuse the rest. scripts/measure_r4e.sh trains the point the
-    # pareto sweep selects (fps >= threshold, best PSNR).
+    # j RCABs of the first group (bwJ) or the first RCAB of every group
+    # (bw1x5), zero-fuse the rest. scripts/measure_r4e.sh trains the
+    # point the pareto sweep selects (fps >= threshold, best PSNR).
     "cain_serving_bw1": dict(model="cain", batch_size=4, loss="1*L1",
                              exp_name="cain_serving_bw1_ckpt",
                              pad_multiple=8, fuse_pad="true",
-                             fuse_groups=cain.boundary_fuse(1)),
+                             fuse_groups="bw1"),
     "cain_serving_bw2": dict(model="cain", batch_size=4, loss="1*L1",
                              exp_name="cain_serving_bw2_ckpt",
                              pad_multiple=8, fuse_pad="true",
-                             fuse_groups=cain.boundary_fuse(2)),
+                             fuse_groups="bw2"),
     "cain_serving_bw4": dict(model="cain", batch_size=4, loss="1*L1",
                              exp_name="cain_serving_bw4_ckpt",
                              pad_multiple=8, fuse_pad="true",
-                             fuse_groups=cain.boundary_fuse(4)),
+                             fuse_groups="bw4"),
     "cain_serving_bw1x5": dict(model="cain", batch_size=4, loss="1*L1",
                                exp_name="cain_serving_bw1x5_ckpt",
                                pad_multiple=8, fuse_pad="true",
-                               fuse_groups=cain.boundary_fuse(
-                                   1, all_groups=True)),
+                               fuse_groups="bw1x5"),
     "voxelflow": dict(batch_size=8, loss="1*MSE",
                       exp_name="voxelflow_synth_ckpt"),
     "rrin": dict(batch_size=4, loss="1*L1", exp_name="rrin_synth_ckpt"),
-    # L1, not the reference's Super loss: offline (zero egress) the
-    # perceptual term would run on a random-init VGG16 — pure noise.
-    # L1 still trains the flow computer through the warp synthesis.
-    "superslomo": dict(batch_size=4, loss="1*L1",
+    # SuperNoPrcp = the reference's composite Super loss
+    # (scripts/run_superslomo.sh: --loss 1*Super; loss.py:246-274) minus
+    # ONLY the 0.005*perceptual term, whose defining VGG16 weights are
+    # env-blocked (zero egress; random-init features would be noise).
+    # Trains the reconstruction + warp + smoothness plumbing on honest
+    # terms (VERDICT r4 item 7). r4 and earlier used plain L1.
+    "superslomo": dict(batch_size=4, loss="1*SuperNoPrcp",
                        exp_name="superslomo_synth_ckpt"),
 }
 
@@ -115,21 +122,22 @@ def main():
         raise SystemExit("epochs must be positive")
     preset = dict(PRESETS[name])
     model = preset.pop("model", name)
-    fuse_groups = preset.pop("fuse_groups", None)
     outer_lr = 1e-4
     if "--outer_lr" in sys.argv:
         outer_lr = float(sys.argv[sys.argv.index("--outer_lr") + 1])
+    seed = None
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+        preset["exp_name"] = f"{preset['exp_name']}_s{seed}"
+        preset["random_seed"] = seed
     cfg = Config(model=model, dataset="synthetic", mode="train",
                  val_batch_size=1, crop_size=256, metasgd=True,
                  optimizer="Adam", inner_lr=1e-5, outer_lr=outer_lr,
                  dtype="bfloat16", **preset)
     system = SceneAdaptiveInterpolation(cfg)
-    if fuse_groups is not None:
-        # per-group fuse lists have no CLI flag — patch the model kwargs
-        # and rebuild the episode apply_fn (serving_pareto.py pattern)
-        system.model_kwargs["fuse_pad"] = fuse_groups
-        system.builder.apply_fn = system._apply_fn()
-        print(f"[graph] fuse_pad groups = {fuse_groups}", flush=True)
+    if cfg.fuse_groups:
+        print(f"[graph] fuse_groups = {cfg.fuse_groups} -> "
+              f"{system.model_kwargs['fuse_pad']}", flush=True)
     out_dir = os.path.join(cfg.checkpoint_dir, cfg.exp_name)
 
     start_epoch = 0
@@ -144,10 +152,14 @@ def main():
         prev = ckpt_lib.load_checkpoint(src)
         if prev is None:
             raise SystemExit(f"--init_from {src}: no checkpoint")
-        system.load_state_dict(prev["system"])
+        # weights only — keep the FRESH outer optimizer built at this
+        # run's --outer_lr (restoring opt_state would silently re-pin the
+        # source checkpoint's LR via opt_state.hyperparams; VERDICT r4)
+        system.load_state_dict(prev["system"], restore_opt=False)
         print(f"[init] weights from {src} (epoch "
               f"{prev.get('epoch', '?')}); training under this "
-              f"preset's graph from epoch 0", flush=True)
+              f"preset's graph from epoch 0 at outer_lr {outer_lr:g}",
+              flush=True)
 
     ds = SyntheticSeptuplet(model=model, mode="train",
                             size=(cfg.crop_size, cfg.crop_size))

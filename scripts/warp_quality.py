@@ -127,6 +127,11 @@ def flow_stats(system, clips, n_stat):
         q0, _qt, q1 = cfg.target_idxs
         with fs:
             apply_fn(adapted, fr[q0][None], fr[q1][None])
+    # a jit creeping into the probed forward would silently zero the
+    # histogram (FlowStats skips tracers); fail loudly instead
+    assert fs.calls > 0, (
+        "FlowStats recorded no warp calls — the probed forward ran under "
+        "jit; displacement stats would be no-op zeros")
     return fs
 
 

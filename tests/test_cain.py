@@ -222,7 +222,8 @@ def test_cain_blockwise_fuse_pad():
     f1 = jnp.asarray(rs.rand(1, 64, 48, 3), jnp.float32)
     nb = mk["n_resblocks"]
 
-    # all-equal blockwise == scalar group entry, bit-exact
+    # all-equal blockwise == scalar group entry to fp-reassociation
+    # tolerance (different scan segmentation -> different fusion)
     grp_true = cain.apply(p, f0, f1, pad_multiple=4,
                           fuse_pad=[True, True, True], **mk)
     bw_true = cain.apply(p, f0, f1, pad_multiple=4,
@@ -237,7 +238,8 @@ def test_cain_blockwise_fuse_pad():
     np.testing.assert_allclose(np.asarray(bw_refl), np.asarray(grp_refl),
                                rtol=1e-4, atol=1e-5)
 
-    # boundary point: first RCAB of group 1 reflect, everything else zero
+    # boundary point: first RCAB of the first group (index 0) reflect,
+    # everything else zero
     bw1 = cain.apply(p, f0, f1, pad_multiple=4,
                      fuse_pad=[["reflect"] + [True] * nb, True, True], **mk)
     assert bw1.shape == grp_true.shape

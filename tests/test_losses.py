@@ -185,37 +185,46 @@ def test_vgg_random_init_warns_loudly(capsys):
 
 def test_disc_per_forward_reference_cadence():
     """--disc_per_forward: the episode exposes per-step support preds and
-    the system performs B x (steps x pairs + 1) single-task discriminator
-    updates per outer iteration, tasks SEQUENTIAL in episode order — the
-    reference updates D inside every criterion call (loss.py:168-213) and
-    the criterion is called inside `for task_id in range(batch)`
-    (meta_learning_system.py:366), so each update sees one task's pred."""
+    the system replays B x (steps x pairs + [MSL queries] + 1) single-task
+    discriminator updates per outer iteration, tasks SEQUENTIAL in episode
+    order — the reference updates D inside every criterion call
+    (loss.py:168-213) and the criterion is called inside `for task_id in
+    range(batch)` (meta_learning_system.py:366). r5: the replay runs as
+    ONE on-device lax.scan (jitted_sequential_update); these checks pin
+    the flattened sequence length/shape per cadence."""
     from meta_interpolation_tpu.config import Config
     from meta_interpolation_tpu.meta.system import SceneAdaptiveInterpolation
 
     rs = np.random.RandomState(0)
     frames = rs.rand(2, 7, 32, 32, 3).astype(np.float32)
+
+    def run_counting(cfg, epoch=0):
+        system = SceneAdaptiveInterpolation(cfg)
+        seen = []
+        real = system.adv_state.jitted_sequential_update()
+
+        def counting(d_params, d_opt, fakes, reals, keys):
+            # every row is a single-task batch (reference per-task
+            # criterion calls — also pins the D BN batch statistics)
+            assert fakes.shape[1] == 1, fakes.shape
+            assert reals.shape == fakes.shape
+            assert keys.shape[0] == fakes.shape[0]
+            seen.append(fakes.shape[0])
+            return real(d_params, d_opt, fakes, reals, keys)
+
+        system.adv_state._jit_seq_update = counting
+        losses, _ = system.run_train_iter(frames, epoch=epoch)
+        assert np.isfinite(losses["loss"])
+        assert len(seen) == 1  # ONE dispatch — the point of the scan form
+        return system, seen[0]
+
     cfg = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
                  crop_size=32, loss="1*L1+0.01*GAN",
                  number_of_training_steps_per_iter=2,
                  disc_per_forward=True)
-    system = SceneAdaptiveInterpolation(cfg)
-
-    calls = []
-    real_upd = system.adv_state.jitted_update()
-
-    def counting_upd(*args):
-        # every update must be a single-task batch (reference per-task
-        # criterion calls — also pins the D BN batch statistics)
-        assert args[2].shape[0] == 1, args[2].shape
-        calls.append(1)
-        return real_upd(*args)
-
-    system.adv_state._jit_update = counting_upd
-    losses, _ = system.run_train_iter(frames, epoch=0)
-    assert np.isfinite(losses["loss"])
     # 2 tasks x (2 steps x 2 support pairs + 1 query)
-    assert len(calls) == 10, len(calls)
+    _sys, n = run_counting(cfg)
+    assert n == 10, n
 
     # MSL active: the reference's per-step query criterion calls also
     # update D (loss.py:168-213 via meta_learning_system.py:404-412) —
@@ -227,19 +236,85 @@ def test_disc_per_forward_reference_cadence():
                      use_multi_step_loss_optimization=True,
                      multi_step_loss_num_epochs=5,
                      disc_per_forward=True)
-    system_msl = SceneAdaptiveInterpolation(cfg_msl)
-    calls_msl = []
-    real_upd_msl = system_msl.adv_state.jitted_update()
-    system_msl.adv_state._jit_update = lambda *a: (calls_msl.append(1),
-                                                   real_upd_msl(*a))[1]
-    losses_msl, _ = system_msl.run_train_iter(frames, epoch=0)
-    assert np.isfinite(losses_msl["loss"])
-    assert len(calls_msl) == 12, len(calls_msl)
+    _sys_msl, n_msl = run_counting(cfg_msl)
+    assert n_msl == 12, n_msl
     # once MSL decays out (epoch >= multi_step_loss_num_epochs) the
     # cadence drops back to steps x pairs + 1 per task
-    calls_msl.clear()
-    system_msl.run_train_iter(frames, epoch=5)
-    assert len(calls_msl) == 10, len(calls_msl)
+    _sys2, n2 = run_counting(cfg_msl, epoch=5)
+    assert n2 == 10, n2
+
+
+def test_disc_replay_sequence_order_and_scan_equivalence():
+    """build_replay_sequence flattens in the reference's exact order
+    (task-major: per step the support pairs then the MSL query; final
+    query last), and the lax.scan sequential update equals a python loop
+    of per-item jitted updates with the same keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from meta_interpolation_tpu.core.adversarial import (
+        AdversarialState, build_replay_sequence)
+
+    B, S, P, T = 2, 2, 2, 7
+    img = (4, 4, 3)
+
+    def mark(task, kind, step, pair):
+        # distinctive constant per slot: t*1000 + kind*100 + step*10 + pair
+        return np.full((1,) + img,
+                       task * 1000 + kind * 100 + step * 10 + pair,
+                       np.float32)[0]
+
+    sp = np.stack([[[mark(b, 1, s, p) for p in range(P)]
+                    for s in range(S)] for b in range(B)])
+    qp = np.stack([[mark(b, 2, s, 0) for s in range(S - 1)]
+                   for b in range(B)])
+    final = np.stack([mark(b, 3, 0, 0) for b in range(B)])
+    frames = np.stack([[mark(b, 4, t, 0) for t in range(T)]
+                       for b in range(B)])
+    fakes, reals = build_replay_sequence(
+        jnp.asarray(sp), jnp.asarray(qp), jnp.asarray(final),
+        jnp.asarray(frames), [2, 4], 3)
+    # reference order, task-major
+    expect = []
+    expect_r = []
+    for b in range(B):
+        for s in range(S):
+            for p, it in enumerate([2, 4]):
+                expect.append(1 * 100 + s * 10 + p + b * 1000)
+                expect_r.append(4 * 100 + it * 10 + b * 1000)
+            if s < S - 1:
+                expect.append(2 * 100 + s * 10 + b * 1000)
+                expect_r.append(4 * 100 + 3 * 10 + b * 1000)
+        expect.append(3 * 100 + b * 1000)
+        expect_r.append(4 * 100 + 3 * 10 + b * 1000)
+    got = [int(np.asarray(fakes[i]).flat[0]) for i in range(fakes.shape[0])]
+    got_r = [int(np.asarray(reals[i]).flat[0]) for i in range(reals.shape[0])]
+    assert got == expect, (got, expect)
+    assert got_r == expect_r, (got_r, expect_r)
+
+    # scan == host loop with identical keys (GAN; patch smaller than img
+    # pads inside discriminator_apply)
+    adv = AdversarialState.create(jax.random.PRNGKey(0), "GAN",
+                                  patch_size=4)
+    rs = np.random.RandomState(1)
+    n = 5
+    fakes = jnp.asarray(rs.rand(n, 1, 4, 4, 3), jnp.float32)
+    reals = jnp.asarray(rs.rand(n, 1, 4, 4, 3), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    p_seq, o_seq, losses = adv.jitted_sequential_update()(
+        adv.params, adv.opt_state, fakes, reals, keys)
+    p_loop, o_loop = adv.params, adv.opt_state
+    upd = adv.jitted_update()
+    loop_losses = []
+    for i in range(n):
+        p_loop, o_loop, li = upd(p_loop, o_loop, fakes[i], reals[i],
+                                 keys[i])
+        loop_losses.append(float(li))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(loop_losses),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_loop)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_disc_per_forward_single_step_msl():
@@ -260,17 +335,17 @@ def test_disc_per_forward_single_step_msl():
                  multi_step_loss_num_epochs=5,
                  disc_per_forward=True)
     system = SceneAdaptiveInterpolation(cfg)
-    calls = []
-    real_upd = system.adv_state.jitted_update()
-    system.adv_state._jit_update = lambda *a: (calls.append(1),
-                                               real_upd(*a))[1]
+    seen = []
+    real = system.adv_state.jitted_sequential_update()
+    system.adv_state._jit_seq_update = lambda *a: (seen.append(a[2].shape),
+                                                   real(*a))[1]
     losses, _ = system.run_train_iter(frames, epoch=0)
     assert np.isfinite(losses["loss"])
     # per task: 1 step x 2 support pairs + the final query (which IS the
     # step's MSL query) = 3; 2 tasks = 6
-    assert len(calls) == 6, len(calls)
+    assert seen == [(6, 1, 32, 32, 3)], seen
 
-    # default cadence: exactly one update
+    # default cadence: exactly one batched update (no replay sequence)
     cfg2 = Config(model="cain", depth=2, n_resblocks=1, batch_size=2,
                   crop_size=32, loss="1*L1+0.01*GAN",
                   number_of_training_steps_per_iter=2)
@@ -281,3 +356,51 @@ def test_disc_per_forward_single_step_msl():
                                                 real_upd2(*a))[1]
     system2.run_train_iter(frames, epoch=0)
     assert len(calls2) == 1, len(calls2)
+
+
+def test_super_noprcp_is_super_minus_perceptual():
+    """SuperNoPrcp == the Super composite with the perceptual term
+    dropped: hand-check 204*recn + 102*warp + smoothness on tiny tensors
+    (reference loss.py:246-274 minus line :263 — the 0.005*prcp term
+    whose VGG16 weights are env-blocked). Must NOT build a VGG16."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meta_interpolation_tpu.core import losses as L
+
+    rs = np.random.RandomState(0)
+    shp = (1, 8, 8, 3)
+    pred = jnp.asarray(rs.rand(*shp), jnp.float32)
+    target = jnp.asarray(rs.rand(*shp), jnp.float32)
+    aux = {
+        "bidirectional_flow": tuple(
+            jnp.asarray(rs.rand(1, 8, 8, 2), jnp.float32) for _ in range(2)),
+        "warped_intermediate_frames": tuple(
+            jnp.asarray(rs.rand(*shp), jnp.float32) for _ in range(2)),
+        "warped_input_frames": tuple(
+            jnp.asarray(rs.rand(*shp), jnp.float32) for _ in range(2)),
+        "I0": jnp.asarray(rs.rand(*shp), jnp.float32),
+        "I1": jnp.asarray(rs.rand(*shp), jnp.float32),
+    }
+    fn = L.make_loss_fn("1*SuperNoPrcp")
+    out = fn(pred, target, aux)
+
+    recn = float(jnp.abs(pred - target).mean())
+    I_0_t, I_1_t = aux["warped_intermediate_frames"]
+    I_0_1, I_1_0 = aux["warped_input_frames"]
+    warp = (float(jnp.abs(I_0_t - target).mean())
+            + float(jnp.abs(I_1_t - target).mean())
+            + float(jnp.abs(I_0_1 - aux["I1"]).mean())
+            + float(jnp.abs(I_1_0 - aux["I0"]).mean()))
+
+    def tv(f):
+        return (float(jnp.abs(f[:, :, :-1] - f[:, :, 1:]).mean())
+                + float(jnp.abs(f[:, :-1] - f[:, 1:]).mean()))
+
+    F_0_1, F_1_0 = aux["bidirectional_flow"]
+    expect = 204.0 * recn + 102.0 * warp + tv(F_1_0) + tv(F_0_1)
+    np.testing.assert_allclose(float(out["total"]), expect, rtol=1e-5)
+
+    # and it equals Super evaluated with vgg16_params=None
+    direct = L.superslomo_loss(pred, target, aux, None)
+    np.testing.assert_allclose(float(out["total"]), float(direct), rtol=1e-6)
