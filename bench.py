@@ -291,6 +291,11 @@ def resolve_serving_point(argv):
 
     ckpt_dir, delta, note = SERVING_GRAPHS.get(
         token, (f"checkpoint/cain_serving_{token.lower()}_ckpt", None, None))
+    if best and best.get("graph") == token and best.get("ckpt"):
+        # the campaign may pin a different checkpoint for this graph
+        # (e.g. the migrated exact->serving fine-tune outperforming the
+        # from-scratch native checkpoint)
+        ckpt_dir = best["ckpt"]
     net = None
     if os.path.isdir(ckpt_dir):
         from meta_interpolation_tpu.core import checkpoint as ckpt_lib

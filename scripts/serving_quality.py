@@ -196,6 +196,23 @@ def main():
         eval_modes({"migrated ckpt, serving (pad8 fuse)": dict(
             pad_multiple=8, fuse_pad="true")}, ft)
 
+    # migration CONTROL (train_synth_ckpt.py cain_exact_ft --init_from
+    # serving_ckpt): same extra epochs/LR under the EXACT graph — the
+    # baseline that separates serving-quality recovery from plain extra
+    # training (the migrated row must be compared to THIS, not the ep-250
+    # anchor)
+    ctl = ckpt_lib.load_checkpoint("checkpoint/cain_exact_ft_ckpt")
+    if ctl is not None:
+        eval_modes({"exact-ft control, exact (pad128 refl)": dict(
+            pad_multiple=128, fuse_pad="false")}, ctl)
+
+    # migration to the bw1 graph (cain_bw1_ft): same recipe as the
+    # zero-fuse migration but onto the 1026-fps boundary-fuse graph
+    bw1ft = ckpt_lib.load_checkpoint("checkpoint/cain_bw1_ft_ckpt")
+    if bw1ft is not None:
+        eval_modes({"migrated-bw1 ckpt, serving (bw1)": dict(
+            pad_multiple=8, fuse_pad="true", fuse_groups="bw1")}, bw1ft)
+
     exact, serving = list(MODES)[0], list(MODES)[1]
     print(f"\ncheckpoint epoch {epoch}, {n_clips} val clips @448x256, "
           f"dtype {arch.get('dtype')}")
@@ -237,6 +254,12 @@ def main():
              "exact-mode PSNR"),
             ("migrated ckpt, serving (pad8 fuse)",
              "MIGRATED ckpt serving-mode PSNR minus exact-ckpt "
+             "exact-mode PSNR"),
+            ("exact-ft control, exact (pad128 refl)",
+             "exact-graph ft CONTROL (same extra epochs/LR) minus "
+             "exact-ckpt exact-mode PSNR"),
+            ("migrated-bw1 ckpt, serving (bw1)",
+             "MIGRATED-to-bw1 ckpt serving-mode PSNR minus exact-ckpt "
              "exact-mode PSNR")]:
         if key not in psnr_gt:
             continue

@@ -66,6 +66,22 @@ PRESETS = {
     "cain_serving_ft": dict(model="cain", batch_size=4, loss="1*L1",
                             exp_name="cain_serving_ft_ckpt",
                             pad_multiple=8, fuse_pad="true"),
+    # CONTROL for the migration measurement (r5): same init, epochs and
+    # outer LR as cain_serving_ft but under the EXACT graph — separates
+    # "recovered serving quality" from "just trained 25 more epochs".
+    # The migration cost is (migrated serving-mode PSNR) minus (this
+    # control's exact-mode PSNR), not minus the ep-250 anchor.
+    "cain_exact_ft": dict(model="cain", batch_size=4, loss="1*L1",
+                          exp_name="cain_exact_ft_ckpt"),
+    # migration to the bw1 boundary-fuse graph (reflect the first RCAB
+    # of group 0, zero-fuse the rest — measured 1026 fps): if first-conv
+    # border fidelity helps the fine-tune land closer to the exact-ft
+    # control than zero-fuse migration does, this is the better >=1000
+    # fps migration target.
+    "cain_bw1_ft": dict(model="cain", batch_size=4, loss="1*L1",
+                        exp_name="cain_bw1_ft_ckpt",
+                        pad_multiple=8, fuse_pad="true",
+                        fuse_groups="bw1"),
     # serving-NATIVE under the RZZZZ graph (reflect the first residual
     # group — index 0 — zero-fuse the rest): the pareto localization
     # shows that group's borders carry 0.95 of the zero-fuse 1.88 dB on
