@@ -23,7 +23,10 @@ already measure at n=64; --all_modes restores the full r3 table
 (border-corrected pad128 + pad8-reflect rows).
 
 Usage: python scripts/serving_quality.py [n_clips] [--all_modes]
-         [--ckpts_only] [--anchor PSNR]
+         [--ckpts_only] [--anchor PSNR] [--rows SUB[,SUB...]]
+
+--rows evaluates only the rows whose label contains one of the given
+substrings (re-measure specific cells without the whole table).
 
 --ckpts_only skips everything measure_r4c/r4d already measure at n=64
 (the base exact/serving modes AND the native/migrated rows) and
@@ -74,6 +77,11 @@ def main():
         anchor = float(argv[i + 1])
         del argv[i:i + 2]
     ckpts_only = "--ckpts_only" in argv
+    rows = None
+    if "--rows" in argv:
+        i = argv.index("--rows")
+        rows = argv[i + 1].split(",")
+        del argv[i:i + 2]
     n_clips = 64
     for a in argv:
         if a.isdigit():
@@ -106,6 +114,8 @@ def main():
 
     def eval_modes(modes, ckpt_state):
         for label, over in modes.items():
+            if rows is not None and not any(s in label for s in rows):
+                continue
             # per-group graphs ride the r5 first-class fuse_groups Config
             # field (string token, models/cain.parse_fuse_spec); rows
             # without one must override whatever the arch recorded
@@ -174,16 +184,27 @@ def main():
         if st is None:
             continue
         over = dict(pad_multiple=8, fuse_pad="true")
-        if graph not in ("native",):
+        if graph not in ("native", "ft"):
+            # graph-specific replicate (rzzzz/bw*); "native" and "ft"
+            # (the migration fine-tune replicate) both run the plain
+            # zero-fuse serving graph
             over["fuse_groups"] = graph.upper() if graph == "rzzzz" else graph
-        eval_modes({f"native{graph} s{seed_id} ckpt, serving": over}, st)
-    # exact-anchor replicates (train_synth_ckpt.py cain --seed N): the
-    # anchor's own run-to-run spread, evaluated under exact semantics
+        label = ("migrated" if graph == "ft" else f"native{graph}")
+        eval_modes({f"{label} s{seed_id} ckpt, serving": over}, st)
+    # exact-anchor and exact-ft-control replicates (cain / cain_exact_ft
+    # --seed N): the anchor's and the migration control's run-to-run
+    # spread, evaluated under exact semantics
     for rep in sorted(glob_lib.glob("checkpoint/serving_ckpt_s*")):
         seed_id = os.path.basename(rep).split("_s")[-1]
         st = ckpt_lib.load_checkpoint(rep)
         if st is not None:
             eval_modes({f"exact s{seed_id} ckpt, exact (pad128 refl)": dict(
+                pad_multiple=128, fuse_pad="false")}, st)
+    for rep in sorted(glob_lib.glob("checkpoint/cain_exact_ft_ckpt_s*")):
+        seed_id = os.path.basename(rep).split("_s")[-1]
+        st = ckpt_lib.load_checkpoint(rep)
+        if st is not None:
+            eval_modes({f"exact-ft control s{seed_id}, exact": dict(
                 pad_multiple=128, fuse_pad="false")}, st)
 
     # serving MIGRATION checkpoint: exact-trained weights fine-tuned a few
