@@ -206,6 +206,15 @@ def main():
         if st is not None:
             eval_modes({f"exact-ft control s{seed_id}, exact": dict(
                 pad_multiple=128, fuse_pad="false")}, st)
+    # bw1-migration replicates (cain_bw1_ft --seed N): graph-independence
+    # of the migration cost, replicated across seeds
+    for rep in sorted(glob_lib.glob("checkpoint/cain_bw1_ft_ckpt_s*")):
+        seed_id = os.path.basename(rep).split("_s")[-1]
+        st = ckpt_lib.load_checkpoint(rep)
+        if st is not None:
+            eval_modes({f"migrated-bw1 s{seed_id} ckpt, serving (bw1)":
+                        dict(pad_multiple=8, fuse_pad="true",
+                             fuse_groups="bw1")}, st)
 
     # serving MIGRATION checkpoint: exact-trained weights fine-tuned a few
     # epochs under the serving graph (train_synth_ckpt.py cain_serving_ft

@@ -94,3 +94,44 @@ def test_fuse_groups_reaches_model_kwargs():
     system = SceneAdaptiveInterpolation(cfg)
     assert system.model_kwargs["fuse_pad"] == cain.boundary_fuse(
         1, n_resblocks=2)
+
+
+def test_bench_resolve_serving_point(tmp_path, monkeypatch):
+    """bench.py --serving resolves its operating point from the
+    campaign's measured best-point file: graph token, an optional pinned
+    checkpoint dir, and the measured quality qualifier — with --graph
+    taking precedence (VERDICT r4 item 4: the headline must be
+    reproducible from bench.py alone)."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    import bench
+    from meta_interpolation_tpu.models import cain
+
+    bp = tmp_path / "best.json"
+    bp.write_text(json.dumps({
+        "graph": "bw1", "fps": 1025.7,
+        "ckpt": str(tmp_path / "nonexistent_ckpt"),
+        "quality_delta_db_vs_exact": -0.334, "note": "measured"}))
+    monkeypatch.setattr(bench, "BEST_POINT_PATH", str(bp))
+
+    tok, fuse, net, fields = bench.resolve_serving_point([])
+    assert tok == "bw1"
+    assert fuse == cain.parse_fuse_spec("bw1")
+    assert net is None  # pinned ckpt dir absent -> random init, no crash
+    assert fields["quality_delta_db_vs_exact"] == -0.334
+    assert fields["graph"] == "bw1"
+
+    # explicit --graph overrides the best-point token
+    tok2, fuse2, _net2, fields2 = bench.resolve_serving_point(
+        ["--graph", "zero"])
+    assert tok2 == "zero" and fuse2 is True
+    # zero without its native ckpt falls back to the exact-ckpt qualifier
+    assert "quality_delta_db_vs_exact" in fields2
+
+    # no best-point file at all -> default zero graph
+    monkeypatch.setattr(bench, "BEST_POINT_PATH",
+                        str(tmp_path / "missing.json"))
+    tok3, _f3, _n3, fields3 = bench.resolve_serving_point([])
+    assert tok3 == "zero"
