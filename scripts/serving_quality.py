@@ -80,7 +80,8 @@ def main():
     rows = None
     if "--rows" in argv:
         i = argv.index("--rows")
-        rows = argv[i + 1].split(",")
+        # drop empty tokens (a stray trailing comma would match EVERY row)
+        rows = [t for t in argv[i + 1].split(",") if t]
         del argv[i:i + 2]
     n_clips = 64
     for a in argv:
